@@ -1,0 +1,51 @@
+"""Engine configuration.
+
+Mirrors the knobs OpenLogReplicator exposes in OpenLogReplicator.json
+(reference: /root/reference/src/OpenLogReplicator.cpp:161-352, 661-745) re-expressed
+for a Spark pipeline. Only knobs with a Spark meaning are kept; reader-thread /
+memory-pool knobs map to Spark-native equivalents (maxFilesPerTrigger, AQE).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # MERGE key of the target table — OLR primary-key projection / user "key"
+    # override (OpenLogReplicator.cpp:593-617, OracleObject::updatePK).
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+
+    # payload (non-key) columns of the target; schema evolution may extend this.
+    payload_cols: tuple[str, ...] = ("role", "text", "tool", "ts")
+
+    # table-dictionary filter — OLR Schema::checkDict mask selection
+    # (Schema.cpp:430-435, OracleAnalyzerOnline.cpp:213-214). None = all tables.
+    table_filter: tuple[str, ...] | None = ("transcripts",)
+
+    # require a begin event before commit to flush, like OLR which skips
+    # transactions whose begin was never seen (RedoLog.cpp:733-766).
+    require_begin: bool = True
+
+    # number of hash buckets of the target lake table (MERGE co-location unit).
+    num_buckets: int = 16
+
+    # salt factor for skew handling in the assembly shuffle: transactions are
+    # grouped by pmod(xxhash64(xid), assembly_buckets * parallelism) so one hot
+    # conversation cannot pin a single task (north-rule skew requirement).
+    assembly_buckets_per_core: int = 4
+
+    # checkpoint cadence analog (Writer.cpp:325-354) — streaming trigger seconds.
+    trigger_seconds: float = 1.0
+
+    # backpressure analog of memory-max-mb (OracleAnalyzer.cpp:959-992):
+    maxFilesPerTrigger: int = 8
+
+    shuffle_partitions: int | None = None  # None = leave session default
+
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def all_cols(self) -> tuple[str, ...]:
+        return tuple(self.key_cols) + tuple(self.payload_cols)

@@ -1,0 +1,285 @@
+"""Deterministic synthetic change-event feed over conversation transcripts.
+
+This is the redo/WAL analog of the reference's input: one row per change vector
+(scn, xid, op, before/after images — RedoLogRecord.h:95-169 and the JSON payload
+in OutputBufferJson.cpp:488-733), targeting the transcripts table
+(conv_id, turn_idx, role, text, tool, ts) from BASELINE.json's input_hint.
+
+Invariants mirrored from the redo log (FIXTURES.md §2):
+  * total order by (scn, seq); scn globally unique (scn = step * n_txs + tx_id);
+  * every I/U/D lies between its xid's B and its terminator C/R;
+  * rollback (R) transactions are fully discarded; partial-rollback events
+    (op 'PR') pop the latest not-yet-popped DML of the same xid — the analog of
+    OLR opcode 5.6/5.11 retraction (TransactionBuffer.cpp:159-183);
+  * U events may carry only changed columns (cols_set) — COLUMN_FORMAT_CHANGED
+    trim analog (OutputBuffer.cpp:1893-1927);
+  * conv_id is Zipf-skewed so a few conversations are hot (skew/salt tests);
+  * a controlled fraction of DDL events drives schema evolution.
+
+Generation is pure Spark SQL expressions over spark.range — fully parallel and
+identical at any scale; determinism comes from xxhash64(seed, ...), never RNG.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+# ----------------------------------------------------------------- schemas
+
+PAYLOAD_FIELDS = [
+    ("role", StringType()),
+    ("text", StringType()),
+    ("tool", StringType()),
+    ("ts", TimestampType()),
+    ("meta", StringType()),  # appears only after the ADD COLUMN DDL event
+]
+
+IMAGE_TYPE = StructType([StructField(n, t, True) for n, t in PAYLOAD_FIELDS])
+
+CHANGE_EVENT_SCHEMA = StructType([
+    StructField("scn", LongType(), False),
+    StructField("seq", LongType(), False),
+    StructField("xid", StringType(), False),
+    StructField("op", StringType(), False),      # B C R I U D PR DDL
+    StructField("table", StringType(), False),
+    StructField("conv_id", StringType(), True),
+    StructField("turn_idx", LongType(), True),
+    StructField("before", IMAGE_TYPE, True),
+    StructField("after", IMAGE_TYPE, True),
+    StructField("before_cols", ArrayType(StringType()), True),
+    StructField("cols_set", ArrayType(StringType()), True),  # after-image cols
+    StructField("ddl", StringType(), True),
+    StructField("ts", TimestampType(), True),
+])
+
+TRANSCRIPTS_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("role", StringType(), True),
+    StructField("text", StringType(), True),
+    StructField("tool", StringType(), True),
+    StructField("ts", TimestampType(), True),
+])
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["search", "python", "browser"]
+
+
+def _u(salt: str, *cols) -> "F.Column":
+    """Deterministic uniform [0,1) from xxhash64 — the generator's only RNG."""
+    h = F.xxhash64(F.lit(salt), *cols)
+    return (F.pmod(h, F.lit(1_000_000)).cast("double") / 1_000_000.0)
+
+
+def generate_change_events(
+    spark: SparkSession,
+    n_txs: int = 1000,
+    n_convs: int = 100,
+    turns_per_conv: int = 20,
+    max_dml: int = 8,
+    p_rollback: float = 0.05,
+    p_partial_rollback: float = 0.05,
+    p_delete: float = 0.08,
+    p_insert: float = 0.35,
+    zipf_a: float = 3.0,
+    with_ddl: bool = False,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Spark-native generator: one row per change event, CHANGE_EVENT_SCHEMA."""
+    s = F.lit(seed)
+    tx = spark.range(0, n_txs, 1, partitions or spark.sparkContext.defaultParallelism)
+    tx = tx.withColumnRenamed("id", "tx_id")
+
+    # conversation for this tx: Zipf-ish skew via pow of a uniform
+    conv_idx = F.floor(
+        F.pow(_u("conv", s, F.col("tx_id")), F.lit(zipf_a)) * n_convs
+    ).cast("long")
+    n_dml = (F.floor(_u("ndml", s, F.col("tx_id")) * max_dml) + 1).cast("int")
+    rolled = _u("roll", s, F.col("tx_id")) < F.lit(p_rollback)
+
+    tx = tx.select(
+        "tx_id",
+        F.concat(F.lit("c"), conv_idx).alias("conv_id"),
+        n_dml.alias("n_dml"),
+        rolled.alias("rolled"),
+        (F.floor(_u("stride", s, F.col("tx_id")) * 4) + 1).cast("long").alias("stride"),
+        (F.col("tx_id") * (max_dml + 2) * 3).alias("tx_start"),  # interleaves txs
+    )
+
+    # explode to events: seq 0 = B, seq n_dml+1 = C/R, middle = DML/PR
+    ev = tx.select(
+        "*", F.posexplode(F.sequence(F.lit(0), F.col("n_dml") + 1)).alias("seq", "_i")
+    ).drop("_i")
+    seq = F.col("seq").cast("long")
+    is_begin = seq == 0
+    is_term = seq == (F.col("n_dml") + 1).cast("long")
+
+    # scn: globally unique, per-tx increasing, interleaved across txs
+    step = F.col("tx_start") + seq * F.col("stride")
+    scn = (step * n_txs + F.col("tx_id")).cast("long")
+
+    u_op = _u("op", s, F.col("tx_id"), seq)
+    # PR only valid when a prior DML exists in this tx (seq >= 2)
+    op = (
+        F.when(is_begin, F.lit("B"))
+        .when(is_term & F.col("rolled"), F.lit("R"))
+        .when(is_term, F.lit("C"))
+        .when((u_op < p_partial_rollback) & (seq >= 2), F.lit("PR"))
+        .when(u_op < p_partial_rollback + p_delete, F.lit("D"))
+        .when(u_op < p_partial_rollback + p_delete + p_insert, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+
+    turn_idx = F.floor(_u("turn", s, F.col("conv_id"), seq, F.col("tx_id")) * turns_per_conv).cast("long")
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in ROLES]),
+        (F.pmod(F.xxhash64(F.lit("role"), s, F.col("tx_id"), seq), F.lit(len(ROLES))) + 1).cast("int"),
+    )
+    tool = F.when(
+        _u("hastool", s, F.col("tx_id"), seq) < 0.3,
+        F.element_at(
+            F.array(*[F.lit(t) for t in TOOLS]),
+            (F.pmod(F.xxhash64(F.lit("tool"), s, F.col("tx_id"), seq), F.lit(len(TOOLS))) + 1).cast("int"),
+        ),
+    )
+    text = F.concat(
+        F.lit("turn "), F.col("conv_id"), F.lit("/"), turn_idx,
+        F.lit(" v"), scn,
+    )
+    ets = F.timestamp_seconds(F.lit(1_700_000_000) + scn)
+
+    is_dml = op.isin("I", "U", "D")
+    # update trim: ~40% of U events carry only (text); I carries everything;
+    # D carries nothing in the after image.
+    trimmed = (op == "U") & (_u("trim", s, F.col("tx_id"), seq) < 0.4)
+    all_payload = F.array(*[F.lit(n) for n, _ in PAYLOAD_FIELDS[:4]])  # no meta pre-DDL
+    cols_set = (
+        F.when(op == "D", F.array().cast("array<string>"))
+        .when(trimmed, F.array(F.lit("text")))
+        .when(is_dml, all_payload)
+    )
+    after = F.when(
+        is_dml & (op != "D"),
+        F.struct(
+            F.when(~trimmed, role).alias("role"),
+            text.alias("text"),
+            F.when(~trimmed, tool).alias("tool"),
+            F.when(~trimmed, ets).alias("ts"),
+            F.lit(None).cast("string").alias("meta"),
+        ),
+    )
+    # before image: deterministic placeholder for U/D (engines don't rely on it
+    # for final state; it feeds the update-diff/trim operator + tests)
+    before = F.when(
+        op.isin("U", "D"),
+        F.struct(
+            role.alias("role"),
+            F.concat(F.lit("prev "), text).alias("text"),
+            tool.alias("tool"),
+            ets.alias("ts"),
+            F.lit(None).cast("string").alias("meta"),
+        ),
+    )
+    before_cols = F.when(op.isin("U", "D"), all_payload).otherwise(
+        F.array().cast("array<string>")
+    )
+
+    out = ev.select(
+        scn.alias("scn"),
+        seq.alias("seq"),
+        F.concat(F.lit("x"), F.col("tx_id")).alias("xid"),
+        op.alias("op"),
+        F.lit("transcripts").alias("table"),
+        F.when(is_dml, F.col("conv_id")).alias("conv_id"),
+        F.when(is_dml, turn_idx).alias("turn_idx"),
+        before.alias("before"),
+        after.alias("after"),
+        before_cols.alias("before_cols"),
+        cols_set.alias("cols_set"),
+        F.lit(None).cast("string").alias("ddl"),
+        ets.alias("ts"),
+    )
+
+    if with_ddl:
+        mid = (n_txs // 2) * (max_dml + 2) * 3 * n_txs
+        ddl_rows = spark.createDataFrame(
+            [
+                (mid, 0, "ddl-1", "DDL", "transcripts", None, None, None, None,
+                 [], [], "ADD COLUMN meta string", None),
+                (mid + 1, 0, "ddl-2", "DDL", "transcripts", None, None, None, None,
+                 [], [], "WIDEN turn_idx bigint", None),
+            ],
+            CHANGE_EVENT_SCHEMA,
+        )
+        # post-DDL events may set `meta`
+        post = out.where((F.col("scn") > mid) & F.col("op").isin("I", "U"))
+        post = post.withColumn(
+            "after",
+            F.col("after").withField("meta", F.concat(F.lit("m"), F.col("scn"))),
+        ).withColumn("cols_set", F.array_append(F.col("cols_set"), F.lit("meta")))
+        out = out.where(~((F.col("scn") > mid) & F.col("op").isin("I", "U"))).unionByName(post).unionByName(ddl_rows)
+
+    return out
+
+
+# ------------------------------------------------------------------ oracle
+
+def sequential_oracle(events: pd.DataFrame, require_begin: bool = True) -> pd.DataFrame:
+    """Reference materialization: apply the feed one event at a time, in strict
+    (scn, seq) order, with an interpreted transaction buffer — the semantics
+    OpenLogReplicator implements in Transaction.cpp:122-392 / RedoLog.cpp:733-766.
+    Deliberately slow and simple; used as the test oracle only.
+    """
+    events = events.sort_values(["scn", "seq"], kind="mergesort")
+    payload = [n for n, _ in PAYLOAD_FIELDS]
+    open_tx: dict[str, dict] = {}
+    committed: list[tuple] = []  # (commit_scn, scn, seq, row dict)
+    ddls: list[tuple] = []
+
+    for r in events.itertuples(index=False):
+        if r.op == "DDL":
+            ddls.append((r.scn, r.ddl))
+            continue
+        st = open_tx.setdefault(r.xid, {"begin": False, "events": []})
+        if r.op == "B":
+            st["begin"] = True
+        elif r.op == "PR":
+            if st["events"]:
+                st["events"].pop()
+        elif r.op in ("I", "U", "D"):
+            st["events"].append(r)
+        elif r.op == "R":
+            open_tx.pop(r.xid, None)
+        elif r.op == "C":
+            if (not require_begin) or st["begin"]:
+                for e in st["events"]:
+                    committed.append((r.scn, e.scn, e.seq, e))
+            open_tx.pop(r.xid, None)
+
+    committed.sort(key=lambda t: (t[0], t[1], t[2]))
+    state: dict[tuple, dict] = {}
+    for _cscn, _scn, _seq, e in committed:
+        key = (e.conv_id, e.turn_idx)
+        if e.op == "D":
+            state.pop(key, None)
+            continue
+        row = state.get(key)
+        if row is None:
+            row = {c: None for c in payload}
+            state[key] = row
+        img = e.after or {}
+        for c in (e.cols_set or []):
+            row[c] = img.get(c) if isinstance(img, dict) else img[c]
+
+    rows = [
+        {"conv_id": k[0], "turn_idx": k[1], **v} for k, v in state.items()
+    ]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", *payload])
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -1,0 +1,401 @@
+"""Snapshot-atomic lake table with Iceberg semantics on plain Parquet.
+
+This sandbox has no Iceberg runtime jar, so the engine ships its own minimal
+implementation of the Iceberg contract it needs; on a real cluster every call
+here maps 1:1 onto Iceberg:
+
+    LakeTable.merge(...)            -> MERGE INTO t USING s ON key ... (copy-on-write)
+    manifest summary {batch_id,...} -> Iceberg snapshot summary (write-audit-publish)
+    alter_add_column / alter_widen  -> ALTER TABLE ... ADD COLUMN / ALTER COLUMN TYPE
+    bucket pruning                  -> Iceberg bucket(N, key) partition transform
+    _current pointer swap           -> Iceberg atomic metadata swap
+
+Exactly-once contract (reference parity): OpenLogReplicator only advances its
+checkpoint after the sink confirms delivery (Writer.cpp:76-180 confirm heap,
+Writer.cpp:325-354 checkpoint write) and skips transactions at or below the
+confirmed SCN on replay (RedoLog.cpp:751-762). Here the same contract is:
+snapshot commits are atomic (tmp-file + rename), each carries the monotonic
+streaming ``batch_id`` plus the applied scn range, and ``merge`` is a no-op for a
+batch id that is already <= the committed high-water mark — so a retried
+foreachBatch after a crash cannot double-apply.
+
+Scale notes:
+  * copy-on-write MERGE rewrites only the hash buckets touched by the incoming
+    batch (file-level bucket pruning), exactly like Iceberg CoW with a
+    bucket(N, key) partition spec. Untouched buckets are carried forward by
+    manifest reference, zero data movement.
+  * the per-bucket resolve is one shuffle (full-outer join on the merge key),
+    pruned to affected buckets; at 1000 executors bucket count is raised so
+    each bucket is a few hundred MB.
+  * schema evolution is metadata-only: old files are never rewritten; readers
+    align every historical file schema to the current one (null-fill added
+    columns, upcast widened ones) — Iceberg's reader does the identical thing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+_POINTER = "_current"
+_DATA_DIR = "data"
+_BUCKET_COL = "_b"
+
+# deterministic seed for the bucket hash — must never change for a table's life.
+_HASH_SEED_COL = "_olr_bucket_seed"
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)  # atomic on POSIX
+
+
+class LakeTable:
+    """A versioned, snapshot-atomic, hash-bucketed Parquet table."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._manifest_cache: dict[int, dict] = {}
+
+    # ------------------------------------------------------------------ basic
+
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema: StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        t = cls(path)
+        manifest = {
+            "version": 0,
+            "schema": schema.jsonValue(),
+            "schema_id": 0,
+            "schemas": {"0": schema.jsonValue()},
+            "key_cols": list(key_cols),
+            "num_buckets": num_buckets,
+            "files": [],
+            "summary": {"operation": "create"},
+            "last_batch_id": -1,
+            "last_scn": -1,
+            "properties": properties or {},
+            "parent": None,
+        }
+        t._commit(manifest)
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, _POINTER))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.path, _POINTER)) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v not in self._manifest_cache:
+            with open(os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json")) as f:
+                self._manifest_cache[v] = json.load(f)
+        return self._manifest_cache[v]
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.manifest()["schema"])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.manifest()["key_cols"])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.manifest()["num_buckets"])
+
+    def last_batch_id(self) -> int:
+        return int(self.manifest()["last_batch_id"])
+
+    def last_scn(self) -> int:
+        return int(self.manifest()["last_scn"])
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        v = self.current_version()
+        for i in range(v + 1):
+            m = self.manifest(i)
+            out.append({"version": i, "summary": m["summary"],
+                        "last_batch_id": m["last_batch_id"]})
+        return out
+
+    def _commit(self, manifest: dict) -> None:
+        v = manifest["version"]
+        _atomic_write(
+            os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json"),
+            json.dumps(manifest),
+        )
+        _atomic_write(os.path.join(self.path, _POINTER), str(v))
+        self._manifest_cache[v] = manifest
+
+    # ------------------------------------------------------------------- read
+
+    def bucket_expr(self, key_cols: list[str] | None = None):
+        """Deterministic bucket of the merge key — Iceberg bucket(N, key) analog.
+
+        Keys are hashed through a canonical string form so the bucket is stable
+        under type widening (Iceberg's bucket transform is likewise
+        type-independent; Spark's raw hash of int vs long is not).
+        """
+        kc = key_cols or self.key_cols
+        return F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in kc], F.lit(_HASH_SEED_COL)),
+            F.lit(self.num_buckets),
+        ).cast("int")
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Read the current snapshot, aligned to the current schema.
+
+        Bucket pruning: pass ``buckets`` to read only matching data files
+        (file-level pruning via manifest stats — Iceberg partition pruning).
+        Old files written under earlier schemas are aligned: missing columns
+        null-filled, widened columns upcast (metadata-only evolution).
+        """
+        m = self.manifest()
+        cur = StructType.fromJson(m["schema"])
+        files = m["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            return spark.createDataFrame([], cur)
+
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        parts = []
+        for sid, paths in by_schema.items():
+            st = StructType.fromJson(m["schemas"][str(sid)])
+            df = spark.read.schema(st).parquet(*paths)
+            # align to current schema: add missing columns as nulls, upcast types
+            proj = []
+            have = {f.name: f.dataType for f in st.fields}
+            for fld in cur.fields:
+                if fld.name in have:
+                    c = F.col(fld.name)
+                    if have[fld.name] != fld.dataType:
+                        c = c.cast(fld.dataType)
+                    proj.append(c.alias(fld.name))
+                else:
+                    proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            parts.append(df.select(*proj))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------------------------------------------------------- writing
+
+    def _write_data(self, df: DataFrame, version: int) -> list[dict]:
+        """Write df (must carry _BUCKET_COL) partitioned by bucket; return file
+        entries with row counts from parquet footers (driver-side, cheap)."""
+        import pyarrow.parquet as pq
+
+        rel = os.path.join(_DATA_DIR, f"v{version}")
+        out_dir = os.path.join(self.path, rel)
+        (df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir))
+        entries = []
+        for root, _dirs, names in os.walk(out_dir):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, n)
+                bucket = int(os.path.basename(root).split("=")[1])
+                nrows = pq.ParquetFile(full).metadata.num_rows
+                if nrows == 0:
+                    continue
+                entries.append({
+                    "path": os.path.relpath(full, self.path),
+                    "bucket": bucket,
+                    "rows": nrows,
+                    "schema_id": self.manifest()["schema_id"],
+                })
+        return entries
+
+    def overwrite(self, df: DataFrame, batch_id: int = -1,
+                  summary: dict | None = None) -> dict:
+        """Replace the whole table content (bootstrap / test helper)."""
+        m = self.manifest()
+        v = m["version"] + 1
+        dfb = df.withColumn(_BUCKET_COL, self.bucket_expr())
+        entries = self._write_data(dfb, v)
+        new = dict(m)
+        new.update(
+            version=v, files=entries, parent=m["version"],
+            last_batch_id=max(batch_id, m["last_batch_id"]),
+            summary={"operation": "overwrite", **(summary or {})},
+        )
+        self._commit(new)
+        return new["summary"]
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        batch_id: int,
+        summary: dict | None = None,
+        op_col: str = "op",
+        cols_set_col: str = "cols_set",
+    ) -> dict:
+        """Idempotent copy-on-write MERGE (Iceberg ``MERGE INTO`` analog).
+
+        ``updates`` must have at most ONE row per merge key and carry:
+          * the key columns,
+          * every current payload column,
+          * ``op``: 'D' deletes the key; 'RP' replaces the row (unset columns
+            become NULL — the row was deleted then re-written within the
+            batch); anything else upserts,
+          * ``cols_set``: array<string> of payload columns present in this
+            change image — absent columns preserve the target's value
+            (OLR partial-update semantics, OutputBuffer.cpp:1893-1927 trim).
+
+        Exactly-once: a batch_id <= last_batch_id is skipped (idempotent
+        retry — OLR confirmed-SCN skip, RedoLog.cpp:751-762).
+        """
+        m = self.manifest()
+        if batch_id <= m["last_batch_id"]:
+            return {"operation": "merge", "skipped": True,
+                    "reason": f"batch {batch_id} <= {m['last_batch_id']}"}
+
+        t0 = time.time()
+        cur = StructType.fromJson(m["schema"])
+        key_cols = m["key_cols"]
+        payload_cols = [f.name for f in cur.fields if f.name not in key_cols]
+
+        upd = updates.withColumn(_BUCKET_COL, self.bucket_expr())
+        # prune: which buckets does this batch touch? (small collect: <= num_buckets)
+        touched = sorted(
+            r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
+        )
+
+        base = self.read(spark, buckets=touched).withColumn(
+            _BUCKET_COL, self.bucket_expr()
+        )
+
+        # full-outer resolve on the key. Column result:
+        #   update present & lists col in cols_set -> update value
+        #   else                                   -> base value
+        # row result: update op 'D' -> drop; no update -> keep base; else upsert.
+        u = upd.alias("u")
+        b = base.alias("b")
+        cond = [F.col(f"u.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
+        joined = b.join(u, cond, "full_outer")
+
+        has_u = F.col(f"u.{op_col}").isNotNull()
+        proj = []
+        for k in key_cols:
+            proj.append(
+                F.coalesce(F.col(f"u.{k}"), F.col(f"b.{k}"))
+                .cast(cur[k].dataType)
+                .alias(k)
+            )
+        for c in payload_cols:
+            fld = cur[c].dataType
+            u_val = F.col(f"u.{c}").cast(fld)
+            u_sets = F.array_contains(
+                F.coalesce(F.col(f"u.{cols_set_col}"), F.array().cast("array<string>")),
+                c,
+            )
+            proj.append(
+                F.when(has_u & u_sets, u_val)
+                .when(has_u & (F.col(f"u.{op_col}") == "RP"), F.lit(None).cast(fld))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+            )
+        proj.append(
+            F.coalesce(F.col(f"u.{_BUCKET_COL}"), F.col(f"b.{_BUCKET_COL}")).alias(_BUCKET_COL)
+        )
+        merged = (
+            joined.select(*proj, F.col(f"u.{op_col}").alias("_op"))
+            .where(F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
+            .drop("_op")
+        )
+
+        v = m["version"] + 1
+        new_entries = self._write_data(merged, v)
+        kept = [f for f in m["files"] if f["bucket"] not in set(touched)]
+        rows_merged = sum(e["rows"] for e in new_entries)
+
+        smry = {
+            "operation": "merge",
+            "batch_id": batch_id,
+            "buckets": touched,
+            "rows_merged": rows_merged,
+            "wall_ms": int((time.time() - t0) * 1000),
+            **(summary or {}),
+        }
+        new = dict(m)
+        new.update(
+            version=v,
+            files=kept + new_entries,
+            parent=m["version"],
+            last_batch_id=batch_id,
+            last_scn=max(int((summary or {}).get("scn_max", -1)), m["last_scn"]),
+            summary=smry,
+        )
+        self._commit(new)
+        smry["snapshot_id"] = v
+        return smry
+
+    # ------------------------------------------------------------- evolution
+
+    def alter_add_column(self, name: str, spark_type) -> None:
+        """Metadata-only ADD COLUMN (Iceberg schema evolution). The reference
+        only *reports* DDL (OutputBuffer.cpp:1957-2007); we apply it."""
+        m = dict(self.manifest())
+        cur = StructType.fromJson(m["schema"])
+        if name in [f.name for f in cur.fields]:
+            return
+        new_schema = StructType(cur.fields).add(name, spark_type, True)
+        self._bump_schema(m, new_schema, {"operation": "add-column", "column": name})
+
+    def alter_widen(self, name: str, spark_type) -> None:
+        """Metadata-only type widen (e.g. int -> bigint)."""
+        m = dict(self.manifest())
+        cur = StructType.fromJson(m["schema"])
+        fields = []
+        for f in cur.fields:
+            if f.name == name:
+                f = f.__class__(f.name, spark_type, f.nullable)
+            fields.append(f)
+        self._bump_schema(m, StructType(fields),
+                          {"operation": "widen", "column": name})
+
+    def _bump_schema(self, m: dict, new_schema: StructType, summary: dict) -> None:
+        v = m["version"] + 1
+        sid = m["schema_id"] + 1
+        schemas = dict(m["schemas"])
+        schemas[str(sid)] = new_schema.jsonValue()
+        m.update(
+            version=v, parent=m["version"], schema=new_schema.jsonValue(),
+            schema_id=sid, schemas=schemas, summary=summary,
+        )
+        self._commit(m)
+
+    # -------------------------------------------------------------- utilities
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

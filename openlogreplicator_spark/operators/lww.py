@@ -1,0 +1,84 @@
+"""Per-key net-change reduction (last-writer-wins with per-column coalescing).
+
+OpenLogReplicator replays committed transactions strictly in commit-SCN order
+(Transaction.cpp:122-392); applying that stream to a keyed table means: for
+every merge key, the LAST committed write of each column wins, and a DELETE
+kills every earlier value (RedoLog.cpp:751-762 guarantees each commit applies
+once). This operator collapses a batch of assembled events into AT MOST ONE
+merge action per key:
+
+    op 'D'  — last effective event is a delete              -> MERGE delete
+    op 'U'  — updates only, no delete in between            -> MERGE upsert,
+              absent columns preserve target values (update-trim semantics,
+              OutputBuffer.cpp:1893-1927)
+    op 'RP' — a delete occurred before the last write       -> MERGE replace:
+              target's prior values are dead; unset columns become NULL
+
+Scale notes: implemented as a single groupBy().agg() of max(struct(ord, val))
+expressions — Spark performs map-side partial aggregation, so a hot key
+(Zipf-skewed conv_id) is pre-reduced on every input partition before the
+shuffle; no explicit salting is needed on this path (see operators/skew.py for
+the explicit two-stage salted variant used by the applyInPandas pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# encode the global apply order (commit_scn, scn) as one orderable struct
+def _ord():
+    return F.struct(F.col("commit_scn").alias("c"), F.col("scn").alias("s"))
+
+
+def net_changes(
+    assembled: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Reduce assembled committed events to one merge action per key.
+
+    Input columns: key cols, op (I/U/D), after struct, cols_set, scn, commit_scn.
+    Output: key cols, payload cols, op ('D'|'U'|'RP'), cols_set array<string>.
+    """
+    o = _ord()
+    aggs = [
+        F.max(F.when(F.col("op") == "D", o)).alias("_last_d"),
+        F.max(F.when(F.col("op") != "D", o)).alias("_last_w"),
+    ]
+    for c in payload_cols:
+        present = F.array_contains(F.coalesce(F.col("cols_set"), F.array().cast("array<string>")), c)
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("op") != "D") & present,
+                    F.struct(o.alias("o"), F.col("after").getField(c).alias("v")),
+                )
+            ).alias(f"_m_{c}")
+        )
+
+    g = assembled.groupBy(*key_cols).agg(*aggs)
+
+    is_del = F.col("_last_w").isNull() | (
+        F.col("_last_d").isNotNull() & (F.col("_last_d") > F.col("_last_w"))
+    )
+    replaced = F.col("_last_d").isNotNull() & ~is_del
+
+    proj = [F.col(k) for k in key_cols]
+    set_entries = []
+    for c in payload_cols:
+        m = F.col(f"_m_{c}")
+        alive = m.isNotNull() & (
+            F.col("_last_d").isNull() | (m.getField("o") > F.col("_last_d"))
+        )
+        proj.append(F.when(alive, m.getField("v")).alias(c))
+        set_entries.append(F.when(alive, F.lit(c)))
+    proj.append(
+        F.when(is_del, F.lit("D"))
+        .when(replaced, F.lit("RP"))
+        .otherwise(F.lit("U"))
+        .alias("op")
+    )
+    proj.append(
+        F.array_compact(F.array(*set_entries)).alias("cols_set")
+    )
+    return g.select(*proj)
