@@ -229,6 +229,20 @@ def generate_change_events(
     return out
 
 
+def pandas_to_events_df(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    """Round-trip helper: a pandas slice of the feed back to a Spark DataFrame
+    (nullable int columns come back as float NaN from pandas — fix dtypes)."""
+    pdf = pdf.copy()
+    pdf["turn_idx"] = pd.Series(
+        [None if pd.isna(v) else int(v) for v in pdf["turn_idx"]],
+        dtype=object,
+        index=pdf.index,
+    )
+    pdf["scn"] = pdf["scn"].astype("int64")
+    pdf["seq"] = pdf["seq"].astype("int64")
+    return spark.createDataFrame(pdf, CHANGE_EVENT_SCHEMA)
+
+
 # ------------------------------------------------------------------ oracle
 
 def sequential_oracle(events: pd.DataFrame, require_begin: bool = True) -> pd.DataFrame:

@@ -1,4 +1,4 @@
-"""Batch replay plan: change feed -> decoded -> assembled -> net-change -> MERGE.
+"""Replay / apply plan: change feed -> decoded -> assembled -> net-change -> MERGE.
 
 This is the reader.type="batch" entry point of the reference
 (OpenLogReplicator.cpp:546-578, OracleAnalyzerBatch.cpp:42-57): process a
@@ -11,6 +11,9 @@ Stage boundaries (Spark physical plan):
     scan (pushed-down table filter) -> [exchange on _g] assembly
     -> [exchange on key, map-side partial agg] net-change
     -> [exchange on key, pruned buckets only] MERGE write -> snapshot commit
+
+The streaming pipeline (streaming/pipeline.py) reuses ``apply_committed`` per
+microbatch, with cross-batch open-transaction state unioned in first.
 """
 
 from __future__ import annotations
@@ -43,11 +46,9 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
     parts = ddl.strip().split()
     kind = parts[0].upper()
     if kind == "ADD" and parts[1].upper() == "COLUMN":
-        name, typ = parts[2], parts[3]
-        table.alter_add_column(name, _spark_type(typ))
+        table.alter_add_column(parts[2], _spark_type(parts[3]))
     elif kind == "WIDEN":
-        name, typ = parts[1], parts[2]
-        table.alter_widen(name, _spark_type(typ))
+        table.alter_widen(parts[1], _spark_type(parts[2]))
     else:
         raise ValueError(f"unsupported DDL: {ddl}")
 
@@ -56,6 +57,129 @@ def _spark_type(name: str):
     return {"string": StringType(), "bigint": LongType(), "long": LongType()}[
         name.lower()
     ]
+
+
+def apply_committed(
+    spark: SparkSession,
+    assembled: DataFrame,
+    ddls: list[tuple[int, str]],
+    table: LakeTable,
+    cfg: EngineConfig,
+    batch_id: int,
+    extra_summary: dict | None = None,
+) -> list[dict]:
+    """Apply assembled committed events to the target, interleaving DDL by scn.
+
+    ``assembled``: committed surviving DML rows with ``commit_scn``.
+    ``ddls``: [(scn, ddl_text)] sorted; each splits the apply into sub-ranges
+    sliced on commit_scn, so schema evolution lands between the transactions
+    that committed before and after it — the streaming-ordered semantics of a
+    DDL appearing inside the feed.
+
+    Exactly-once: composite batch ids (batch_id * 1024 + sub) are monotonic;
+    any composite <= the table's last_batch_id is skipped, and the commit-scn
+    high-water mark additionally drops already-applied transactions
+    (OLR RedoLog.cpp:751-762 confirmed-SCN skip).
+    """
+    ddls = sorted(ddls)
+    bounds: list[tuple[int | None, int | None]] = []
+    lo = None
+    for scn, _txt in ddls:
+        bounds.append((lo, scn))
+        lo = scn
+    bounds.append((lo, None))
+
+    hwm = table.last_scn()
+    if hwm >= 0:
+        assembled = assembled.where(F.col("commit_scn") > hwm)
+    if len(bounds) > 1:
+        assembled = assembled.persist()
+
+    summaries: list[dict] = []
+    try:
+        for sub, (lo, hi) in enumerate(bounds):
+            if sub > 0:
+                _apply_ddl(table, ddls[sub - 1][1])
+            part = assembled
+            if lo is not None:
+                part = part.where(F.col("commit_scn") > lo)
+            if hi is not None:
+                part = part.where(F.col("commit_scn") <= hi)
+            s = _merge_slice(spark, part, table, cfg, batch_id, sub, extra_summary)
+            if s is not None:
+                summaries.append(s)
+    finally:
+        if len(bounds) > 1:
+            assembled.unpersist()
+    return summaries
+
+
+def _merge_slice(
+    spark: SparkSession,
+    part: DataFrame,
+    table: LakeTable,
+    cfg: EngineConfig,
+    batch_id: int,
+    sub: int,
+    extra_summary: dict | None,
+) -> dict | None:
+    composite = batch_id * 1024 + sub
+    if composite <= table.last_batch_id():
+        return {"operation": "merge", "skipped": True, "batch_id": composite}
+
+    payload_cols = [
+        f.name for f in table.schema().fields if f.name not in table.key_cols
+    ]
+    updates = net_changes(part, table.key_cols, payload_cols)
+    rng = part.agg(
+        F.min("scn").alias("lo"),
+        F.max(F.greatest("scn", "commit_scn")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if rng["n"] == 0:
+        # advance the write-audit watermark so retries stay idempotent
+        m = dict(table.manifest())
+        m.update(version=m["version"] + 1, parent=m["version"],
+                 last_batch_id=composite,
+                 summary={"operation": "noop", "batch_id": composite})
+        table._commit(m)
+        return None
+    return table.merge(
+        spark,
+        updates,
+        batch_id=composite,
+        summary={
+            "scn_min": int(rng["lo"]),
+            "scn_max": int(rng["hi"]),
+            "events_in": int(rng["n"]),
+            **(extra_summary or {}),
+        },
+    )
+
+
+def assemble(
+    events: DataFrame, cfg: EngineConfig, use_pandas: bool = True,
+    emit_open: bool = False,
+):
+    """Assembly dispatch: applyInPandas per-key state (north-rule default) or
+    the equivalent JVM window-function form."""
+    if use_pandas:
+        res = assemble_transactions_pandas(events, cfg, emit_open=emit_open)
+        if not emit_open:
+            return res
+        committed = res.where(~F.col("is_open")).drop("is_open")
+        open_rows = res.where(F.col("is_open")).drop("is_open", "commit_scn")
+        return committed, open_rows
+    return assemble_transactions_sql(events, cfg, emit_open=emit_open)
+
+
+def collect_ddls(decoded: DataFrame) -> list[tuple[int, str]]:
+    """DDL events are rare and tiny — collect to the driver (the analog of the
+    reference handling opcode 24.1 inline, OpCode1801.cpp:37-80)."""
+    return sorted(
+        (int(r["scn"]), r["ddl"])
+        for r in decoded.where(F.col("op") == "DDL").select("scn", "ddl").collect()
+    )
 
 
 def replay_batch(
@@ -67,99 +191,11 @@ def replay_batch(
     use_pandas_assembly: bool = True,
     extra_summary: dict | None = None,
 ) -> list[dict]:
-    """Replay a bounded slice of the change feed into the target table.
-
-    Idempotent: transactions with commit_scn <= the table's scn high-water
-    mark are skipped (OLR RedoLog.cpp:751-762), and a batch_id already
-    committed is a no-op (snapshot write-audit).
-    Returns the list of snapshot summaries produced (one per DDL sub-range).
-    """
+    """Replay a bounded slice of the change feed into the target table."""
     decoded = decode_events(events, cfg)
-
-    # DDL events split the batch into sub-ranges; DDLs are rare + tiny -> collect
-    ddls = sorted(
-        (r["scn"], r["ddl"])
-        for r in decoded.where(F.col("op") == "DDL").select("scn", "ddl").collect()
-    )
-    dml_stream = decoded.where(F.col("op") != "DDL")
-
-    bounds = [(None, ddls[0][0]) if ddls else (None, None)]
-    for i, (scn, _d) in enumerate(ddls):
-        hi = ddls[i + 1][0] if i + 1 < len(ddls) else None
-        bounds.append((scn, hi))
-
-    summaries: list[dict] = []
-    sub = 0
-    for i, (lo, hi) in enumerate(bounds):
-        part = dml_stream
-        if lo is not None:
-            part = part.where(F.col("scn") > lo)
-        if hi is not None:
-            part = part.where(F.col("scn") <= hi)
-
-        if i > 0:
-            _apply_ddl(table, ddls[i - 1][1])
-
-        s = _apply_dml_slice(
-            spark, part, table, cfg, batch_id, sub, use_pandas_assembly,
-            extra_summary,
-        )
-        if s is not None:
-            summaries.append(s)
-        sub += 1
-    return summaries
-
-
-def _apply_dml_slice(
-    spark: SparkSession,
-    part: DataFrame,
-    table: LakeTable,
-    cfg: EngineConfig,
-    batch_id: int,
-    sub: int,
-    use_pandas_assembly: bool,
-    extra_summary: dict | None,
-) -> dict | None:
-    # composite batch id keeps the write-audit monotonic across DDL sub-ranges
-    composite = batch_id * 1024 + sub
-    if composite <= table.last_batch_id():
-        return {"operation": "merge", "skipped": True, "batch_id": composite}
-
-    if use_pandas_assembly:
-        assembled = assemble_transactions_pandas(part, cfg)
-    else:
-        assembled = assemble_transactions_sql(part, cfg)
-
-    # checkpoint high-water mark: skip already-applied commits (resume filter)
-    hwm = table.last_scn()
-    if hwm >= 0:
-        assembled = assembled.where(F.col("commit_scn") > hwm)
-
-    payload_cols = [
-        f.name for f in table.schema().fields if f.name not in table.key_cols
-    ]
-    updates = net_changes(assembled, table.key_cols, payload_cols)
-    if not updates.take(1):
-        # still advance the write-audit watermark so retries stay idempotent
-        m = dict(table.manifest())
-        m.update(version=m["version"] + 1, parent=m["version"],
-                 last_batch_id=composite,
-                 summary={"operation": "noop", "batch_id": composite})
-        table._commit(m)
-        return None
-
-    rng = part.agg(
-        F.min("scn").alias("lo"), F.max("scn").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    return table.merge(
-        spark,
-        updates,
-        batch_id=composite,
-        summary={
-            "scn_min": int(rng["lo"]) if rng["lo"] is not None else -1,
-            "scn_max": int(rng["hi"]) if rng["hi"] is not None else -1,
-            "events_in": int(rng["n"]),
-            **(extra_summary or {}),
-        },
+    ddls = collect_ddls(decoded)
+    dml = decoded.where(F.col("op") != "DDL")
+    assembled = assemble(dml, cfg, use_pandas=use_pandas_assembly)
+    return apply_committed(
+        spark, assembled, ddls, table, cfg, batch_id, extra_summary
     )
