@@ -1,0 +1,101 @@
+"""spark-submit entry point for the CDC engine.
+
+Deploy surface per the north rule: ``spark-submit --py-files engine.zip job.py``.
+
+Modes:
+  replay  — bounded batch replay (OLR reader.type="batch" analog,
+            OracleAnalyzerBatch.cpp:42-57): synthesize/read a change feed,
+            apply it to the lake target, print snapshot summaries, then retry
+            the same batch id to demonstrate idempotent skip.
+  stream  — Structured Streaming tail (OLR reader.type="online" analog):
+            consume scn-ordered feed files from --feed-dir with exactly-once
+            apply + checkpoint resume.
+
+Examples:
+  spark-submit --py-files /tmp/engine.zip job.py replay /tmp/target_tbl
+  spark-submit --py-files /tmp/engine.zip job.py replay /tmp/tbl --n-txs 20000
+  spark-submit --py-files /tmp/engine.zip job.py stream /tmp/tbl \
+      --feed-dir /tmp/feed --checkpoint /tmp/ckpt --state-dir /tmp/state
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(app: str) -> SparkSession:
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str]) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("mode", choices=["replay", "stream"])
+    p.add_argument("target", help="lake table path")
+    p.add_argument("--n-txs", type=int, default=2000)
+    p.add_argument("--with-ddl", action="store_true")
+    p.add_argument("--feed-dir")
+    p.add_argument("--checkpoint")
+    p.add_argument("--state-dir")
+    p.add_argument("--batch-id", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.feed import generate_change_events
+    from openlogreplicator_spark.lake import LakeTable
+    from openlogreplicator_spark.plans.replay import bootstrap_target, replay_batch
+
+    spark = build_spark(f"olr-cdc-{args.mode}")
+    cfg = EngineConfig()
+
+    if args.mode == "replay":
+        table = (
+            LakeTable(args.target)
+            if LakeTable.exists(args.target)
+            else bootstrap_target(args.target, cfg)
+        )
+        events = generate_change_events(
+            spark, n_txs=args.n_txs, with_ddl=args.with_ddl
+        )
+        summaries = replay_batch(
+            spark, events, table, cfg, batch_id=args.batch_id
+        )
+        for s in summaries:
+            print("APPLY", json.dumps(s))
+        # idempotent retry: the same batch id must be skipped (write-audit)
+        retry = replay_batch(spark, events, table, cfg, batch_id=args.batch_id)
+        for s in retry:
+            print("RETRY", json.dumps(s))
+        print("ROWS", table.read(spark).count())
+        print("SNAPSHOTS", json.dumps(table.snapshots()[-3:]))
+    else:
+        from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+        if not (args.feed_dir and args.checkpoint and args.state_dir):
+            p.error("stream mode requires --feed-dir --checkpoint --state-dir")
+        table = (
+            LakeTable(args.target)
+            if LakeTable.exists(args.target)
+            else bootstrap_target(args.target, cfg)
+        )
+        pipe = CDCStreamPipeline(table, cfg, args.state_dir)
+        q = pipe.run_stream(
+            spark, args.feed_dir, args.checkpoint, available_now=True
+        )
+        q.awaitTermination()
+        print("ROWS", table.read(spark).count())
+        pipe.read_lineage(spark).orderBy("batch_id", "partition_id").show(50, False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
