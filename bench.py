@@ -1,0 +1,115 @@
+"""Benchmark harness. Prints ONE JSON line on stdout:
+
+  {"metric": "...", "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
+   "apply_events_per_sec": ..., "cpus": ...}
+
+Headline: end-to-end CDC apply (derived change feed -> decode -> transaction
+assembly -> net-change -> snapshot-atomic MERGE -> readback count) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+Per-query timings cover the operator surface from __spark_entry__.queries().
+
+Scaling-efficiency evidence (N vs 4N cores) lives in tools/bench_scaling.py —
+this script is single-configuration so the driver's per-round numbers are
+comparable round over round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("olr-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.feed_from_events import derive_feed
+    from openlogreplicator_spark.lake import LakeTable
+    from openlogreplicator_spark.operators.assembly import (
+        assemble_transactions_pandas,
+        assemble_transactions_sql,
+    )
+    from openlogreplicator_spark.operators.lww import net_changes
+    from openlogreplicator_spark.plans.replay import replay_batch
+    import __spark_entry__ as entrymod
+
+    cfg = EngineConfig()
+    timings: dict[str, float] = {}
+
+    # warmup: JVM + parquet footer caches, outside all timings
+    derive_feed(spark, sf_dir).count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- headline: end-to-end CDC replay (feed -> MERGE -> snapshot) ----
+    feed = derive_feed(spark, sf_dir)
+    n_events = feed.count()
+    tmp = tempfile.mkdtemp(prefix="olr_bench_tbl_")
+    table = LakeTable.create(
+        tmp, entrymod._DERIVED_TARGET, ["conv_id", "turn_idx"],
+        num_buckets=cfg.num_buckets,
+    )
+    t0 = time.time()
+    replay_batch(spark, feed, table, cfg, batch_id=0)
+    rows = table.read(spark).count()
+    e2e = time.time() - t0
+    timings["cdc_replay_e2e"] = round(e2e, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- operator microbenchmarks (count() forces full execution) ----
+    timed("cdc_assembly_sql",
+          lambda: assemble_transactions_sql(derive_feed(spark, sf_dir), cfg).count())
+    timed("cdc_assembly_pandas",
+          lambda: assemble_transactions_pandas(derive_feed(spark, sf_dir), cfg).count())
+    timed("cdc_net_changes", lambda: net_changes(
+        assemble_transactions_sql(derive_feed(spark, sf_dir), cfg),
+        ["conv_id", "turn_idx"], ["role", "text", "ts"]).count())
+
+    # driver-contract analytics queries at bench scale
+    for name in ("cdc_lww_dedup", "agg_pricing_summary", "join_nation_orders",
+                 "window_top_orders", "cdc_multirow_unnest"):
+        fn = entrymod.queries()[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    print(json.dumps({
+        "metric": "cdc_replay_e2e_sec",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "events": n_events,
+        "rows_final": rows,
+        "apply_events_per_sec": round(n_events / e2e, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

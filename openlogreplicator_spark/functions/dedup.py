@@ -1,0 +1,209 @@
+"""Deduplication operators for document corpora.
+
+Scale notes (100 TB corpus):
+  * exact dedup is one hash-groupBy — map-side partial agg collapses dupes
+    before the shuffle, so shuffle bytes ~ distinct count;
+  * n-gram Jaccard is the EXACT pairwise path: shingle-explode + equi-join on
+    the shingle. Quadratic in bucket co-membership — use only after LSH
+    candidate pruning at scale (compose: lsh_candidate_pairs -> semi-join ->
+    ngram_jaccard_pairs on the candidates);
+  * MinHash+LSH is the scale path: signatures are one explode + groupBy per
+    doc (linear), banding is a groupBy on (band, signature) — no pairwise
+    work until candidates are emitted. Band width r=4 / k=32 gives the usual
+    s-curve around J~0.6;
+  * SimHash is linear: one pass per doc, near-dup = hamming distance on a
+    64-bit int (cheap bucketed self-join on rotated prefixes at scale).
+
+``use_portable_hash=True`` makes every hash reproducible in ANSI SQL (the
+driver's DuckDB oracle); production would flip to xxhash64 (hashing.fast_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from openlogreplicator_spark.functions.hashing import (
+    P, fast_hash, minhash_proj, portable_hash,
+)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text.
+    Returns (keep_id, n_dupes) — the smallest doc id kept per group."""
+    h = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    return (
+        docs.select(F.col(id_col), h.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keep_id", "n_dupes")
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle string)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold_pct: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (doc_a < doc_b).
+
+    Output: (doc_a, doc_b, inter_cnt, union_cnt) for pairs with
+    100*inter >= threshold_pct*union — integer arithmetic only, so the SQL
+    oracle matches bit-for-bit.
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
+        .where(F.lit(100) * F.col("inter_cnt") >= F.lit(threshold_pct) * F.col("union_cnt"))
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    use_portable_hash: bool = True,
+) -> DataFrame:
+    """MinHash signature rows: (id, j, minhash_j) for j in [0, k)."""
+    hash_fn = portable_hash if use_portable_hash else fast_hash
+    sh = word_shingles(docs, id_col, text_col, n)
+    hashed = sh.select(
+        F.col(id_col),
+        (hash_fn(F.col("shingle")) % P).alias("h"),
+    )
+    projected = hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    minhash_proj(F.col("h"), j).alias("v"),
+                ),
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), F.col("p.j").alias("j"), F.col("p.v").alias("v"))
+    return projected.groupBy(id_col, "j").agg(F.min("v").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 32,
+    band_rows: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    use_portable_hash: bool = True,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing >= 1 band signature.
+
+    Banding: k minhashes split into k/band_rows bands; band signature is the
+    '-'-joined values in j order. Pairs emitted once (doc_a < doc_b) with
+    n_bands = number of colliding bands.
+    """
+    sig = minhash_signatures(docs, k, id_col, text_col, n, use_portable_hash)
+    bands = (
+        sig.withColumn("band", F.floor(F.col("j") / band_rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "-", F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("minhash")))
+                    ),
+                    lambda s: s.getField("minhash").cast("string"),
+                )
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig")))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_portable_hash: bool = True,
+) -> DataFrame:
+    """Per-doc SimHash over word tokens (all occurrences, not distinct).
+
+    bit_j(sig) = sign of sum over tokens of (+1 if bit_j(hash(token)) else -1);
+    returned as one integer (id, simhash). Integer-exact, oracle-matchable.
+    """
+    hash_fn = portable_hash if use_portable_hash else fast_hash
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    hashed = toks.select(F.col(id_col), (hash_fn(F.col("tok")) % P).alias("h"))
+    per_bit = hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+                    .cast("long").alias("s"),
+                ),
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), F.col("p.j").alias("j"), F.col("p.s").alias("s"))
+    bit_sums = per_bit.groupBy(id_col, "j").agg(F.sum("s").alias("bsum"))
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("bsum") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("j")))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )

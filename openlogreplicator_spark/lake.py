@@ -216,7 +216,12 @@ class LakeTable:
 
         rel = os.path.join(_DATA_DIR, f"v{version}")
         out_dir = os.path.join(self.path, rel)
-        (df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir))
+        # co-locate each bucket into one task before the partitioned write:
+        # one data file per touched bucket (vs. files x tasks), so manifest
+        # size and driver-side footer stats stay O(buckets). At cluster scale
+        # num_buckets is raised so a bucket is a few hundred MB.
+        (df.repartition(self.num_buckets, F.col(_BUCKET_COL))
+           .write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir))
         entries = []
         for root, _dirs, names in os.walk(out_dir):
             for n in names:

@@ -111,7 +111,16 @@ def assemble_transactions_pandas(
     emit_open: bool = False,
 ):
     """applyInPandas assembly (north-rule path). Same semantics as the SQL
-    form; per-key transaction state lives in vectorized pandas group ops.
+    form; per-key transaction state lives in vectorized pandas/numpy ops.
+
+    Scale design: only the four slim verdict columns (xid, scn, seq, op) cross
+    the Arrow boundary — the wide payload (before/after structs, arrays) stays
+    JVM-side and is re-attached by an equi-join on the unique ``scn``. This
+    keeps Python exchange bytes ~20x smaller than shipping full rows, at the
+    cost of one extra shuffle of the feed (scn join) that AQE sizes freely.
+    Transactions are grouped by a salted hash of xid (pmod(xxhash64(xid), G))
+    so thousands of transactions share one Arrow batch and one hot transaction
+    cannot pin a task; G scales with parallelism.
     """
     spark = events.sparkSession
     if num_groups is None:
@@ -121,46 +130,76 @@ def assemble_transactions_pandas(
         )
     require_begin = cfg.require_begin
 
-    in_cols = events.columns
-    out_schema = events.schema.add("commit_scn", "long").add("is_open", "boolean")
-
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+    def verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["xid", "scn", "seq"], kind="mergesort").reset_index(
             drop=True
         )
-        g = pdf.groupby("xid", sort=False)
-        op = pdf["op"]
-        is_c = op == "C"
-        is_dml = op.isin(DML)
-        commit_scn = pdf["scn"].where(is_c).groupby(pdf["xid"]).transform("max")
-        has_begin = (op == "B").groupby(pdf["xid"]).transform("max")
-        rolled = (op == "R").groupby(pdf["xid"]).transform("max")
-        terminated = op.isin(["C", "R"]).groupby(pdf["xid"]).transform("max")
-        committed = commit_scn.notna() & ~rolled
-        if require_begin:
-            committed &= has_begin
+        # factorize once: sorted input -> codes are contiguous runs
+        codes, _ = pd.factorize(pdf["xid"], sort=False)
+        op = pdf["op"].to_numpy()
+        scn = pdf["scn"].to_numpy()
+        n = len(pdf)
+        ngrp = codes[-1] + 1 if n else 0
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if n else np.array([], dtype=int)
 
-        # partial-rollback stack via prefix-sum + suffix-min (vectorized)
+        is_c = op == "C"
+        is_dml = np.isin(op, DML)
+        # per-group reductions via reduceat over contiguous runs
+        commit_g = np.maximum.reduceat(np.where(is_c, scn, -1), starts) if n else np.array([])
+        begin_g = np.maximum.reduceat((op == "B").astype(np.int8), starts) if n else np.array([])
+        rolled_g = np.maximum.reduceat((op == "R").astype(np.int8), starts) if n else np.array([])
+        term_g = np.maximum.reduceat(np.isin(op, ("C", "R")).astype(np.int8), starts) if n else np.array([])
+        committed_g = (commit_g >= 0) & (rolled_g == 0)
+        if require_begin:
+            committed_g &= begin_g == 1
+
+        # partial-rollback stack via prefix-sum + suffix-min (segmented):
+        # running depth resets per group; a DML survives iff the running sum
+        # never drops below its own depth later in the transaction
+        # (TransactionBuffer.cpp:159-183 pop semantics, vectorized)
         delta = np.where(op == "PR", -1, np.where(is_dml, 1, 0))
-        running = pd.Series(delta, index=pdf.index).groupby(pdf["xid"]).cumsum()
-        rev = running.iloc[::-1]
-        suffix_min = rev.groupby(pdf["xid"].iloc[::-1]).cummin().iloc[::-1]
+        csum = np.cumsum(delta)
+        if n:
+            lengths = np.diff(np.r_[starts, n])
+            prev_end = np.r_[0, csum[starts[1:] - 1]]  # csum at prior group end
+            running = csum - np.repeat(prev_end, lengths)
+            # segmented suffix-min via reversed groupby cummin (C-speed)
+            suffix_min = (
+                pd.Series(running[::-1]).groupby(codes[::-1]).cummin()
+                .to_numpy()[::-1]
+            )
+        else:
+            running = csum
+            suffix_min = csum
         survives = is_dml & (suffix_min >= running)
 
-        emit = pdf[committed & survives].copy()
-        emit["commit_scn"] = commit_scn[committed & survives].astype("int64")
-        emit["is_open"] = False
-        if emit_open:
-            openr = pdf[~terminated].copy()
-            openr["commit_scn"] = pd.array([None] * len(openr), dtype="Int64")
-            openr["is_open"] = True
-            emit = pd.concat([emit, openr], ignore_index=True)
-        return emit[[*in_cols, "commit_scn", "is_open"]]
+        committed_r = committed_g[codes] if n else np.array([], dtype=bool)
+        commit_r = commit_g[codes] if n else np.array([])
+        term_r = (term_g[codes] == 1) if n else np.array([], dtype=bool)
 
-    grouped = events.withColumn(
-        "_g", F.pmod(F.xxhash64(F.col("xid")), F.lit(num_groups))
+        keep = committed_r & survives
+        res = pd.DataFrame({
+            "scn": scn[keep],
+            "commit_scn": commit_r[keep].astype("int64"),
+            "is_open": np.zeros(keep.sum(), dtype=bool),
+        })
+        if emit_open:
+            openr = pd.DataFrame({
+                "scn": scn[~term_r],
+                "commit_scn": pd.array([None] * int((~term_r).sum()), dtype="Int64"),
+                "is_open": np.ones(int((~term_r).sum()), dtype=bool),
+            })
+            res = pd.concat([res, openr], ignore_index=True)
+        return res
+
+    slim = events.select(
+        "xid", "scn", "seq", "op",
+        F.pmod(F.xxhash64(F.col("xid")), F.lit(num_groups)).alias("_g"),
     )
-    res = grouped.groupBy("_g").applyInPandas(assemble, out_schema)
+    v = slim.groupBy("_g").applyInPandas(
+        verdicts, "scn long, commit_scn long, is_open boolean"
+    )
+    res = events.join(v, on="scn", how="inner")
     if not emit_open:
         return res.where(~F.col("is_open")).drop("is_open")
     return res

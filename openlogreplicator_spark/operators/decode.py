@@ -28,15 +28,26 @@ DML_OPS = ("I", "U", "D")
 
 
 @pandas_udf(StringType())
-def _normalize_text(s: pd.Series) -> pd.Series:
-    """Arrow-batched payload transform (vectorized pandas string kernel)."""
+def _normalize_text_pandas(s: pd.Series) -> pd.Series:
+    """Arrow-batched payload transform (vectorized pandas string kernel).
+    Semantically identical to the JVM expression below; kept as the escape
+    hatch for transforms built-ins can't express (tested equal)."""
     return s.str.replace(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", regex=True).str.rstrip()
+
+
+def _normalize_text_jvm(c):
+    """Whole-stage-codegen path: control-char strip + trailing-ws trim.
+    Hot-path default — stays inside Tungsten, no Python exchange."""
+    return F.regexp_replace(
+        F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""), "\\s+$", ""
+    )
 
 
 def decode_events(
     events: DataFrame,
     cfg: EngineConfig,
     normalize_text: bool = True,
+    use_pandas_normalize: bool = False,
 ) -> DataFrame:
     """Filter + normalize a raw change-event DataFrame (CHANGE_EVENT_SCHEMA)."""
     out = events.where(F.col("op").isin(*VALID_OPS))
@@ -55,11 +66,12 @@ def decode_events(
     out = out.where((~F.col("op").isin(*DML_OPS)) | key_ok)
 
     if normalize_text and "after" in out.columns:
+        norm = _normalize_text_pandas if use_pandas_normalize else _normalize_text_jvm
         out = out.withColumn(
             "after",
             F.when(
                 F.col("after").isNotNull(),
-                F.col("after").withField("text", _normalize_text(F.col("after.text"))),
+                F.col("after").withField("text", norm(F.col("after.text"))),
             ),
         )
     return out

@@ -34,17 +34,20 @@ def net_changes(
     assembled: DataFrame,
     key_cols: list[str],
     payload_cols: list[str],
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """Reduce assembled committed events to one merge action per key.
 
     Input columns: key cols, op (I/U/D), after struct, cols_set, scn, commit_scn.
     Output: key cols, payload cols, op ('D'|'U'|'RP'), cols_set array<string>.
+    ``extra_aggs``: additional per-key aggregate expressions passed through to
+    the output unchanged (lets callers fold audits into this single shuffle).
     """
     o = _ord()
     aggs = [
         F.max(F.when(F.col("op") == "D", o)).alias("_last_d"),
         F.max(F.when(F.col("op") != "D", o)).alias("_last_w"),
-    ]
+    ] + list(extra_aggs or [])
     for c in payload_cols:
         present = F.array_contains(F.coalesce(F.col("cols_set"), F.array().cast("array<string>")), c)
         aggs.append(
@@ -81,4 +84,6 @@ def net_changes(
     proj.append(
         F.array_compact(F.array(*set_entries)).alias("cols_set")
     )
+    known = {"_last_d", "_last_w"} | {f"_m_{c}" for c in payload_cols}
+    proj += [F.col(c) for c in g.columns if c not in known and c not in key_cols]
     return g.select(*proj)

@@ -92,7 +92,12 @@ def apply_committed(
     hwm = table.last_scn()
     if hwm >= 0:
         assembled = assembled.where(F.col("commit_scn") > hwm)
-    if len(bounds) > 1:
+    # persist the (wide) assembled rows only when several DDL-sliced merges
+    # will each scan it; the single-slice fast path consumes it exactly once
+    # (the scn-range audit is folded into the net-change aggregation, and the
+    # slice persists the much smaller per-key `updates` instead)
+    multi = len(bounds) > 1
+    if multi:
         assembled = assembled.persist()
 
     summaries: list[dict] = []
@@ -109,7 +114,7 @@ def apply_committed(
             if s is not None:
                 summaries.append(s)
     finally:
-        if len(bounds) > 1:
+        if multi:
             assembled.unpersist()
     return summaries
 
@@ -130,31 +135,44 @@ def _merge_slice(
     payload_cols = [
         f.name for f in table.schema().fields if f.name not in table.key_cols
     ]
-    updates = net_changes(part, table.key_cols, payload_cols)
-    rng = part.agg(
-        F.min("scn").alias("lo"),
-        F.max(F.greatest("scn", "commit_scn")).alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if rng["n"] == 0:
-        # advance the write-audit watermark so retries stay idempotent
-        m = dict(table.manifest())
-        m.update(version=m["version"] + 1, parent=m["version"],
-                 last_batch_id=composite,
-                 summary={"operation": "noop", "batch_id": composite})
-        table._commit(m)
-        return None
-    return table.merge(
-        spark,
-        updates,
-        batch_id=composite,
-        summary={
-            "scn_min": int(rng["lo"]),
-            "scn_max": int(rng["hi"]),
-            "events_in": int(rng["n"]),
-            **(extra_summary or {}),
-        },
-    )
+    # single pass over `part`: fold the scn-range audit into the net-change
+    # aggregation (one groupBy; the global range is a cheap second-stage agg
+    # over the per-key rows), then persist — merge() runs two jobs over it
+    # (bucket-prune collect + write)
+    updates = net_changes(
+        part, table.key_cols, payload_cols, extra_aggs=[
+            F.min("scn").alias("_scn_lo"),
+            F.max(F.greatest("scn", "commit_scn")).alias("_scn_hi"),
+            F.count(F.lit(1)).alias("_n_events"),
+        ]
+    ).persist()
+    try:
+        rng = updates.agg(
+            F.min("_scn_lo").alias("lo"),
+            F.max("_scn_hi").alias("hi"),
+            F.coalesce(F.sum("_n_events"), F.lit(0)).alias("n"),
+        ).collect()[0]
+        if rng["n"] == 0:
+            # advance the write-audit watermark so retries stay idempotent
+            m = dict(table.manifest())
+            m.update(version=m["version"] + 1, parent=m["version"],
+                     last_batch_id=composite,
+                     summary={"operation": "noop", "batch_id": composite})
+            table._commit(m)
+            return None
+        return table.merge(
+            spark,
+            updates.drop("_scn_lo", "_scn_hi", "_n_events"),
+            batch_id=composite,
+            summary={
+                "scn_min": int(rng["lo"]),
+                "scn_max": int(rng["hi"]),
+                "events_in": int(rng["n"]),
+                **(extra_summary or {}),
+            },
+        )
+    finally:
+        updates.unpersist()
 
 
 def assemble(
@@ -192,10 +210,13 @@ def replay_batch(
     extra_summary: dict | None = None,
 ) -> list[dict]:
     """Replay a bounded slice of the change feed into the target table."""
-    decoded = decode_events(events, cfg)
-    ddls = collect_ddls(decoded)
-    dml = decoded.where(F.col("op") != "DDL")
-    assembled = assemble(dml, cfg, use_pandas=use_pandas_assembly)
-    return apply_committed(
-        spark, assembled, ddls, table, cfg, batch_id, extra_summary
-    )
+    decoded = decode_events(events, cfg).persist()
+    try:
+        ddls = collect_ddls(decoded)
+        dml = decoded.where(F.col("op") != "DDL")
+        assembled = assemble(dml, cfg, use_pandas=use_pandas_assembly)
+        return apply_committed(
+            spark, assembled, ddls, table, cfg, batch_id, extra_summary
+        )
+    finally:
+        decoded.unpersist()
