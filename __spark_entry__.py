@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_pricing_summary,
         "join_nation_orders": _q_nation_orders,
         "window_top_orders": _q_top_orders,
+        **_TRAINING_QUERIES,
     }
 
 
@@ -375,4 +376,296 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rnk <= 3
         """,
+        **_TRAINING_ORACLES,
     }
+
+
+# ------------------------------------------------- training-data pipeline ops
+
+from openlogreplicator_spark.functions import dedup as D
+from openlogreplicator_spark.functions import similarity as S
+from openlogreplicator_spark.functions import textstats as T
+from openlogreplicator_spark.functions import multimodal as M
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold_pct=60)
+
+
+def _q_dedup_minhash_sig(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return D.minhash_signatures(docs, k=32)
+
+
+def _q_dedup_lsh_pairs(spark, sf_dir):
+    return D.lsh_candidate_pairs(_tbl(spark, sf_dir, "documents"), k=32, band_rows=4)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_tbl(spark, sf_dir, "documents"), bits=32)
+
+
+def _q_ann_topk_dot(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return S.topk_dot_quantized(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return S.topk_ivf(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    # float scores -> no bit-exact SQL oracle; driver records rows-only check.
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def _q_text_token_count(spark, sf_dir):
+    return T.token_count(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark, sf_dir):
+    return T.quality_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_text_lang_id(spark, sf_dir):
+    return T.lang_id(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_winnow_fp(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return T.winnow_fingerprints(docs, k=5, window=4)
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    media = M.attach_binary_payload(_tbl(spark, sf_dir, "documents"))
+    return M.extract_media_meta(media)
+
+
+_TRAINING_QUERIES = {
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_minhash_sig": _q_dedup_minhash_sig,
+    "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+    "dedup_simhash": _q_dedup_simhash,
+    "ann_topk_dot": _q_ann_topk_dot,
+    "ann_ivf_topk": _q_ann_ivf_topk,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "text_token_count": _q_text_token_count,
+    "text_quality": _q_text_quality,
+    "text_lang_id": _q_text_lang_id,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "winnow_fp": _q_winnow_fp,
+    "multimodal_meta": _q_multimodal_meta,
+}
+
+# ---- oracle SQL for the training-data ops (portable-hash mirrors) ----
+
+# shared CTEs: normalized text, word arrays, distinct 3-gram shingles, and
+# the portable polynomial shingle hash (see functions/hashing.py docstring)
+_DOCS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM toks WHERE len(w) >= 3
+  )
+), shh AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+      list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT))),
+      (a,b) -> (a*31+b) % 1000000007) AS h
+  FROM sh
+)
+"""
+
+_MINHASH_SQL_BODY = r"""
+, mh AS (
+  SELECT doc_id, j, MIN(((2*j+1)*h + (5*j+3)) % 1000000007) AS minhash
+  FROM shh, (SELECT unnest(generate_series(0,31)) AS j) js
+  GROUP BY doc_id, j
+)
+"""
+
+
+def _count_sql(word: str) -> str:
+    needle = f" {word} "
+    return (f"(length(' ' || t || ' ') - "
+            f"length(replace(' ' || t || ' ', '{needle}', ''))) / {len(needle)}")
+
+
+def _lang_id_sql() -> str:
+    from openlogreplicator_spark.functions.textstats import LANG_MARKERS
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        s = " + ".join(_count_sql(w) for w in LANG_MARKERS[lang])
+        cols.append(f"CAST({s} AS BIGINT) AS s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs) + " END"
+    return _DOCS_SQL + f""",
+scored AS (SELECT doc_id, {', '.join(cols)} FROM norm),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {case} AS pred_lang, best AS score FROM withbest
+"""
+
+
+def _quality_sql() -> str:
+    from openlogreplicator_spark.functions.textstats import STOPWORDS
+    stop = " + ".join(_count_sql(w) for w in STOPWORDS)
+    return _DOCS_SQL + f"""
+SELECT n.doc_id,
+  length(t) AS n_chars,
+  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST({stop} AS BIGINT) AS n_stopwords,
+  CAST(list_max(list_transform(string_split(t, ' '), x -> length(x))) AS BIGINT)
+    AS max_word_len
+FROM norm n
+"""
+
+
+_TRAINING_ORACLES = {
+    "dedup_exact": _DOCS_SQL + """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+        FROM (SELECT doc_id, md5(t) AS fp FROM norm) GROUP BY fp
+    """,
+    "dedup_ngram_jaccard": _DOCS_SQL + """
+        , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter_cnt, (sa.n_sh + sb.n_sh - inter_cnt) AS union_cnt
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 100 * inter_cnt >= 60 * (sa.n_sh + sb.n_sh - inter_cnt)
+    """,
+    "dedup_minhash_sig": _DOCS_SQL.replace("FROM documents",
+        "FROM documents WHERE doc_id < 100") + _MINHASH_SQL_BODY + """
+        SELECT doc_id, CAST(j AS INT) AS j, minhash FROM mh
+    """,
+    "dedup_lsh_pairs": _DOCS_SQL + _MINHASH_SQL_BODY + """
+        , bands AS (
+          SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                 string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS sig
+          FROM mh GROUP BY doc_id, (j // 4)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    "dedup_simhash": _DOCS_SQL + """
+        , alltoks AS (
+          SELECT doc_id, unnest(w) AS tok FROM toks
+        ), th AS (
+          SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+              list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+              (a,b) -> (a*31+b) % 1000000007) AS h
+          FROM alltoks
+        ), bitsums AS (
+          SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS bsum
+          FROM th, (SELECT unnest(generate_series(0,31)) AS j) js
+          GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                 AS simhash
+        FROM bitsums GROUP BY doc_id
+    """,
+    "ann_topk_dot": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+            SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE)*1000) AS BIGINT)
+              * CAST(FLOOR(CAST(cv[i] AS DOUBLE)*1000) AS BIGINT)) AS dot
+          FROM q, c, (SELECT unnest(generate_series(1,64)) AS i) gi
+          WHERE neighbor_id <> query_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot DESC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+    """,
+    "ann_ivf_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qcell
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS ccell
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+            SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE)*1000) AS BIGINT)
+              * CAST(FLOOR(CAST(cv[i] AS DOUBLE)*1000) AS BIGINT)) AS dot
+          FROM q, c, (SELECT unnest(generate_series(1,64)) AS i) gi
+          WHERE neighbor_id <> query_id AND ccell = qcell
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot DESC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+    """,
+    "text_token_count": _DOCS_SQL + r"""
+        SELECT doc_id,
+          CAST(len(string_split(t, ' ')) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+            AS n_bpe_tokens
+        FROM norm
+    """,
+    "text_quality": _quality_sql(),
+    "text_lang_id": _lang_id_sql(),
+    "doc_fingerprint": _DOCS_SQL + """
+        SELECT doc_id, md5(t) AS fp FROM norm
+    """,
+    "winnow_fp": _DOCS_SQL.replace("FROM documents",
+        "FROM documents WHERE doc_id < 20") + r"""
+        , grams AS (
+          SELECT doc_id, g.pos AS pos, g.gram AS gram FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(1, length(t)-4),
+                i -> {'pos': i, 'gram': substr(t, i, 5)})) AS g
+            FROM norm WHERE length(t) >= 5
+          )
+        ), gh AS (
+          SELECT doc_id, pos, list_reduce(list_prepend(CAST(7 AS BIGINT),
+              list_transform(string_split(gram,''), c -> CAST(ascii(c) AS BIGINT))),
+              (a,b) -> (a*31+b) % 1000000007) AS h
+          FROM grams
+        ), winmin AS (
+          SELECT doc_id, pos, h,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM gh
+        )
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS pos, h AS fp_hash
+        FROM winmin WHERE h = wmin GROUP BY doc_id, h
+    """,
+    "multimodal_meta": """
+        SELECT doc_id, 'image/fake' AS media_type,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+          CAST(octet_length(encode(text)) % 480 AS INT) AS height
+        FROM documents
+    """,
+}

@@ -187,23 +187,25 @@ def simhash(
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
     hashed = toks.select(F.col(id_col), (hash_fn(F.col("tok")) % P).alias("h"))
+    # bits unrolled in Python (shift amounts must be literals); stays one
+    # explode + two aggregates regardless of `bits`
     per_bit = hashed.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.struct(
-                    j.cast("int").alias("j"),
-                    (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-                    .cast("long").alias("s"),
-                ),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+                .cast("long").alias("s"),
             )
-        ).alias("p"),
+            for j in range(bits)
+        ])).alias("p"),
     ).select(F.col(id_col), F.col("p.j").alias("j"), F.col("p.s").alias("s"))
     bit_sums = per_bit.groupBy(id_col, "j").agg(F.sum("s").alias("bsum"))
+    weight = F.element_at(
+        F.array(*[F.lit(1 << j).cast("long") for j in range(bits)]),
+        F.col("j") + 1,
+    )
     return bit_sums.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("bsum") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("j")))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
+        F.sum(F.when(F.col("bsum") > 0, weight).otherwise(F.lit(0)))
+        .alias("simhash")
     )
