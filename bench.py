@@ -39,7 +39,11 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # 16g + throughput GC: G1 on a large heap serializes 32 local task
+        # threads in GC/page-fault kernel time (measured 3x slowdown); the
+        # string-heavy CDC payload wants a compacting throughput collector
         .config("spark.driver.memory", "16g")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

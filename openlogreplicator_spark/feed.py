@@ -91,6 +91,7 @@ def generate_change_events(
     with_ddl: bool = False,
     seed: int = 42,
     partitions: int | None = None,
+    payload_chars: int = 0,
 ) -> DataFrame:
     """Spark-native generator: one row per change event, CHANGE_EVENT_SCHEMA."""
     s = F.lit(seed)
@@ -153,7 +154,17 @@ def generate_change_events(
         F.lit("turn "), F.col("conv_id"), F.lit("/"), turn_idx,
         F.lit(" v"), scn,
     )
-    ets = F.timestamp_seconds(F.lit(1_700_000_000) + scn)
+    if payload_chars > 0:
+        # realistic transcript-sized turn text: deterministic filler unique
+        # per event (repeat of the event's own hash rendered in hex)
+        filler = F.repeat(
+            F.hex(F.xxhash64(F.lit("fill"), s, F.col("tx_id"), seq)),
+            payload_chars // 16 + 1,
+        ).substr(1, payload_chars)
+        text = F.concat(text, F.lit(" "), filler)
+    # scn can exceed 1e13 at large n_txs; cap the epoch offset so timestamp
+    # micros stay well inside int64 (timestamp_seconds overflows otherwise)
+    ets = F.timestamp_seconds(F.lit(1_700_000_000) + F.pmod(scn, F.lit(100_000_000)))
 
     is_dml = op.isin("I", "U", "D")
     # update trim: ~40% of U events carry only (text); I carries everything;

@@ -209,7 +209,8 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writing
 
-    def _write_data(self, df: DataFrame, version: int) -> list[dict]:
+    def _write_data(self, df: DataFrame, version: int,
+                    pre_partitioned: bool = False) -> list[dict]:
         """Write df (must carry _BUCKET_COL) partitioned by bucket; return file
         entries with row counts from parquet footers (driver-side, cheap)."""
         import pyarrow.parquet as pq
@@ -219,9 +220,12 @@ class LakeTable:
         # co-locate each bucket into one task before the partitioned write:
         # one data file per touched bucket (vs. files x tasks), so manifest
         # size and driver-side footer stats stay O(buckets). At cluster scale
-        # num_buckets is raised so a bucket is a few hundred MB.
-        (df.repartition(self.num_buckets, F.col(_BUCKET_COL))
-           .write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir))
+        # num_buckets is raised so a bucket is a few hundred MB. Callers whose
+        # input is already bucket-partitioned (staged updates) skip the
+        # shuffle entirely.
+        if not pre_partitioned:
+            df = df.repartition(self.num_buckets, F.col(_BUCKET_COL))
+        (df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir))
         entries = []
         for root, _dirs, names in os.walk(out_dir):
             for n in names:
@@ -264,6 +268,8 @@ class LakeTable:
         summary: dict | None = None,
         op_col: str = "op",
         cols_set_col: str = "cols_set",
+        touched: list[int] | None = None,
+        updates_bucketed: bool = False,
     ) -> dict:
         """Idempotent copy-on-write MERGE (Iceberg ``MERGE INTO`` analog).
 
@@ -279,6 +285,10 @@ class LakeTable:
 
         Exactly-once: a batch_id <= last_batch_id is skipped (idempotent
         retry — OLR confirmed-SCN skip, RedoLog.cpp:751-762).
+
+        ``touched`` (optional): pre-computed touched bucket list (e.g. from a
+        bucket-partitioned staging write) — skips the distinct-collect job.
+        ``updates_bucketed``: set when ``updates`` already carries _b.
         """
         m = self.manifest()
         if batch_id <= m["last_batch_id"]:
@@ -290,57 +300,82 @@ class LakeTable:
         key_cols = m["key_cols"]
         payload_cols = [f.name for f in cur.fields if f.name not in key_cols]
 
-        upd = updates.withColumn(_BUCKET_COL, self.bucket_expr())
-        # prune: which buckets does this batch touch? (small collect: <= num_buckets)
-        touched = sorted(
-            r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
-        )
+        upd = (updates if updates_bucketed
+               else updates.withColumn(_BUCKET_COL, self.bucket_expr()))
+        if touched is None:
+            # prune: which buckets does this batch touch?
+            # (small collect: <= num_buckets)
+            touched = sorted(
+                r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
+            )
+        touched = sorted(touched)
 
-        base = self.read(spark, buckets=touched).withColumn(
-            _BUCKET_COL, self.bucket_expr()
-        )
+        base_has_rows = any(f["bucket"] in set(touched) for f in m["files"])
+        if not base_has_rows:
+            # fast path — nothing to resolve against: upserts project directly
+            # (absent cols NULL), deletes drop. One job, no join/shuffle.
+            proj = [F.col(k).cast(cur[k].dataType).alias(k) for k in key_cols]
+            for c in payload_cols:
+                fld = cur[c].dataType
+                u_sets = F.array_contains(
+                    F.coalesce(F.col(cols_set_col),
+                               F.array().cast("array<string>")), c)
+                proj.append(
+                    F.when(u_sets, F.col(c).cast(fld))
+                    .otherwise(F.lit(None).cast(fld)).alias(c))
+            proj.append(F.col(_BUCKET_COL))
+            merged = upd.where(F.col(op_col) != "D").select(*proj)
+        else:
+            base = self.read(spark, buckets=touched).withColumn(
+                _BUCKET_COL, self.bucket_expr()
+            )
 
-        # full-outer resolve on the key. Column result:
-        #   update present & lists col in cols_set -> update value
-        #   else                                   -> base value
-        # row result: update op 'D' -> drop; no update -> keep base; else upsert.
-        u = upd.alias("u")
-        b = base.alias("b")
-        cond = [F.col(f"u.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
-        joined = b.join(u, cond, "full_outer")
+            # full-outer resolve on the key. Column result:
+            #   update present & lists col in cols_set -> update value
+            #   else                                   -> base value
+            # row result: 'D' -> drop; no update -> keep base; else upsert.
+            u = upd.alias("u")
+            b = base.alias("b")
+            cond = [F.col(f"u.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
+            joined = b.join(u, cond, "full_outer")
 
-        has_u = F.col(f"u.{op_col}").isNotNull()
-        proj = []
-        for k in key_cols:
+            has_u = F.col(f"u.{op_col}").isNotNull()
+            proj = []
+            for k in key_cols:
+                proj.append(
+                    F.coalesce(F.col(f"u.{k}"), F.col(f"b.{k}"))
+                    .cast(cur[k].dataType)
+                    .alias(k)
+                )
+            for c in payload_cols:
+                fld = cur[c].dataType
+                u_val = F.col(f"u.{c}").cast(fld)
+                u_sets = F.array_contains(
+                    F.coalesce(F.col(f"u.{cols_set_col}"),
+                               F.array().cast("array<string>")),
+                    c,
+                )
+                proj.append(
+                    F.when(has_u & u_sets, u_val)
+                    .when(has_u & (F.col(f"u.{op_col}") == "RP"),
+                          F.lit(None).cast(fld))
+                    .otherwise(F.col(f"b.{c}"))
+                    .alias(c)
+                )
             proj.append(
-                F.coalesce(F.col(f"u.{k}"), F.col(f"b.{k}"))
-                .cast(cur[k].dataType)
-                .alias(k)
+                F.coalesce(F.col(f"u.{_BUCKET_COL}"),
+                           F.col(f"b.{_BUCKET_COL}")).alias(_BUCKET_COL)
             )
-        for c in payload_cols:
-            fld = cur[c].dataType
-            u_val = F.col(f"u.{c}").cast(fld)
-            u_sets = F.array_contains(
-                F.coalesce(F.col(f"u.{cols_set_col}"), F.array().cast("array<string>")),
-                c,
+            merged = (
+                joined.select(*proj, F.col(f"u.{op_col}").alias("_op"))
+                .where(F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
+                .drop("_op")
             )
-            proj.append(
-                F.when(has_u & u_sets, u_val)
-                .when(has_u & (F.col(f"u.{op_col}") == "RP"), F.lit(None).cast(fld))
-                .otherwise(F.col(f"b.{c}"))
-                .alias(c)
-            )
-        proj.append(
-            F.coalesce(F.col(f"u.{_BUCKET_COL}"), F.col(f"b.{_BUCKET_COL}")).alias(_BUCKET_COL)
-        )
-        merged = (
-            joined.select(*proj, F.col(f"u.{op_col}").alias("_op"))
-            .where(F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
-            .drop("_op")
-        )
 
         v = m["version"] + 1
-        new_entries = self._write_data(merged, v)
+        new_entries = self._write_data(
+            merged, v, pre_partitioned=(not base_has_rows) and updates_bucketed
+        )
         kept = [f for f in m["files"] if f["bucket"] not in set(touched)]
         rows_merged = sum(e["rows"] for e in new_entries)
 
@@ -378,9 +413,12 @@ class LakeTable:
         self._bump_schema(m, new_schema, {"operation": "add-column", "column": name})
 
     def alter_widen(self, name: str, spark_type) -> None:
-        """Metadata-only type widen (e.g. int -> bigint)."""
+        """Metadata-only type widen (e.g. int -> bigint). Idempotent: a
+        retried DDL whose target type already matches is a no-op."""
         m = dict(self.manifest())
         cur = StructType.fromJson(m["schema"])
+        if any(f.name == name and f.dataType == spark_type for f in cur.fields):
+            return
         fields = []
         for f in cur.fields:
             if f.name == name:

@@ -58,6 +58,11 @@ class CDCStreamPipeline:
         self.pending = PendingStore(os.path.join(state_dir, "pending"))
         self.lineage_dir = os.path.join(state_dir, "lineage")
         self.use_pandas_assembly = use_pandas_assembly
+        # M4 in-band command channel: an event on the control table requests
+        # graceful shutdown (reference: event-table mask,
+        # OpenLogReplicator.cpp:586-591, RedoLog.cpp:819-823)
+        self.control_table = "_control"
+        self.shutdown_requested = False
 
     # ------------------------------------------------------------- per batch
 
@@ -69,16 +74,21 @@ class CDCStreamPipeline:
         ddls = collect_ddls(decoded)
         dml = decoded.where(F.col("op") != "DDL")
 
-        # source-partition lineage of the raw slice (before any shuffle)
+        # one pass over the raw slice: per-source-partition lineage (before
+        # any shuffle) + the M4 control-table probe (graceful-shutdown event)
         part_stats = (
-            dml.groupBy(F.spark_partition_id().alias("partition_id"))
+            batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.min("scn").alias("scn_min"),
                 F.max("scn").alias("scn_max"),
                 F.count(F.lit(1)).alias("events"),
+                F.max(
+                    (F.col("table") == self.control_table).cast("int")
+                ).alias("ctl"),
             )
             .collect()
         )
+        ctl_seen = any(p["ctl"] for p in part_stats)
 
         prev = self.pending.read_for_batch(spark, CHANGE_EVENT_SCHEMA, batch_id)
         events = prev.unionByName(dml.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields]))
@@ -102,6 +112,11 @@ class CDCStreamPipeline:
 
         self._write_lineage(spark, batch_id, part_stats, summaries,
                             wall_ms=int((time.time() - t0) * 1000))
+        if ctl_seen:
+            # flag only AFTER the batch fully applied: the poller in
+            # run_until_shutdown stops the query between batches, so the
+            # triggering batch's work is never interrupted (graceful M4 stop)
+            self.shutdown_requested = True
         return summaries
 
     def _write_lineage(self, spark, batch_id, part_stats, summaries, wall_ms):
@@ -151,6 +166,9 @@ class CDCStreamPipeline:
         """Start the streaming query. The feed producer writes scn-ordered
         parquet files into ``feed_dir``; the file source delivers them oldest
         first, so microbatches are contiguous scn slices (LWN analog)."""
+        from openlogreplicator_spark.streaming import metrics as _metrics
+
+        _metrics.attach(spark, self.state_dir)
         src = (
             spark.readStream.schema(CHANGE_EVENT_SCHEMA)
             .option("maxFilesPerTrigger", self.cfg.maxFilesPerTrigger)
@@ -169,3 +187,16 @@ class CDCStreamPipeline:
             secs = trigger_seconds or self.cfg.trigger_seconds
             writer = writer.trigger(processingTime=f"{secs} seconds")
         return writer.start()
+
+    def run_until_shutdown(self, query, poll_seconds: float = 0.5) -> None:
+        """Block until the query ends or an in-band control event requests a
+        graceful stop (M4, reference event-table shutdown) — the stop lands
+        AFTER the triggering batch fully commits, so no work is lost."""
+        import time as _t
+
+        while query.isActive:
+            if self.shutdown_requested:
+                query.stop()
+                break
+            _t.sleep(poll_seconds)
+        query.awaitTermination()

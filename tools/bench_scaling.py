@@ -32,11 +32,12 @@ from pyspark.sql import SparkSession
 cores = int(sys.argv[1]); n_txs = int(sys.argv[2])
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
     .appName(f"olr-scaling-{{cores}}")
-    .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    .config("spark.sql.shuffle.partitions", str(2 * cores))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "16g")
+    .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from openlogreplicator_spark.config import EngineConfig
@@ -46,7 +47,7 @@ from openlogreplicator_spark.plans.replay import bootstrap_target, replay_batch
 # parallelism cap (a 4N deployment raises bucket count the same way)
 cfg = EngineConfig(num_buckets=64)
 spark.range(10).count()  # JVM warmup outside timing
-feed = generate_change_events(spark, n_txs=n_txs, n_convs=max(n_txs // 10, 10))
+feed = generate_change_events(spark, n_txs=n_txs, n_convs=max(n_txs // 10, 10), payload_chars=200)
 n = feed.count()
 tmp = tempfile.mkdtemp(prefix="olr_scaling_tbl_")
 table = bootstrap_target(tmp, cfg)
