@@ -101,3 +101,39 @@ def test_assembly_sql_equals_pandas(spark, tmp_path):
     pa = a.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
     pb = b.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pb)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        # heavy partial-rollback pressure (stack retraction, D6)
+        dict(n_txs=250, n_convs=25, p_partial_rollback=0.25, p_rollback=0.15, seed=101),
+        # delete-heavy with hot-key skew (RP resurrection semantics)
+        dict(n_txs=250, n_convs=10, p_delete=0.3, zipf_a=6.0, seed=202),
+        # long transactions, few conversations (key collisions across txs)
+        dict(n_txs=120, n_convs=5, max_dml=16, seed=303),
+    ],
+)
+def test_replay_oracle_stress(spark, tmp_path, kw):
+    cfg = EngineConfig(num_buckets=4)
+    events = generate_change_events(spark, **kw)
+    oracle = sequential_oracle(events.toPandas()).drop(columns=["meta"])
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    replay_batch(spark, events, table, cfg, batch_id=1)
+    _assert_state_equals(_final_state(table, spark), oracle)
+
+
+def test_replay_with_ddl_matches_oracle(spark, tmp_path):
+    """Batch replay with mid-feed ADD COLUMN + WIDEN: the target evolves and
+    post-DDL events populate the new column (reference only *reports* DDL —
+    OutputBuffer.cpp:1957-2007; we apply it)."""
+    cfg = EngineConfig(num_buckets=4)
+    events = generate_change_events(spark, n_txs=200, n_convs=30, with_ddl=True, seed=5)
+    oracle = sequential_oracle(events.toPandas())  # keeps `meta`
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    replay_batch(spark, events, table, cfg, batch_id=1)
+    got = _final_state(table, spark)
+    assert "meta" in got.columns
+    assert got["meta"].notna().any(), "post-DDL events must populate meta"
+    assert str(table.schema()["turn_idx"].dataType) == "LongType()"
+    _assert_state_equals(got, oracle)
