@@ -226,22 +226,27 @@ class LakeTable:
         if not pre_partitioned:
             df = df.repartition(self.num_buckets, F.col(_BUCKET_COL))
         (df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir))
-        entries = []
+        paths = []
         for root, _dirs, names in os.walk(out_dir):
             for n in names:
-                if not n.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, n)
-                bucket = int(os.path.basename(root).split("=")[1])
-                nrows = pq.ParquetFile(full).metadata.num_rows
-                if nrows == 0:
-                    continue
-                entries.append({
-                    "path": os.path.relpath(full, self.path),
-                    "bucket": bucket,
-                    "rows": nrows,
-                    "schema_id": self.manifest()["schema_id"],
-                })
+                if n.endswith(".parquet"):
+                    paths.append((os.path.join(root, n),
+                                  int(os.path.basename(root).split("=")[1])))
+        sid = self.manifest()["schema_id"]
+
+        def stat(item):
+            full, bucket = item
+            return {
+                "path": os.path.relpath(full, self.path),
+                "bucket": bucket,
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "schema_id": sid,
+            }
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
+            entries = [e for e in ex.map(stat, paths) if e["rows"] > 0]
         return entries
 
     def overwrite(self, df: DataFrame, batch_id: int = -1,
@@ -394,6 +399,83 @@ class LakeTable:
             parent=m["version"],
             last_batch_id=batch_id,
             last_scn=max(int((summary or {}).get("scn_max", -1)), m["last_scn"]),
+            summary=smry,
+        )
+        self._commit(new)
+        smry["snapshot_id"] = v
+        return smry
+
+    def merge_direct(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        batch_id: int,
+        summary: dict | None = None,
+        op_col: str = "op",
+        cols_set_col: str = "cols_set",
+        audit_aggs: list | None = None,
+    ) -> dict:
+        """Single-pass MERGE for an EMPTY table (bootstrap / first batch).
+
+        With no base rows there is nothing to resolve against, so the per-key
+        updates project straight into the table's data files — one Spark job,
+        no staging round-trip. The touched-bucket set and any caller audit
+        aggregates ride the same job via ``observe()``. Same idempotency
+        contract as ``merge``.
+        """
+        from pyspark.sql import Observation
+
+        m = self.manifest()
+        if batch_id <= m["last_batch_id"]:
+            return {"operation": "merge", "skipped": True,
+                    "reason": f"batch {batch_id} <= {m['last_batch_id']}"}
+        if m["files"]:
+            raise ValueError("merge_direct requires an empty table")
+
+        t0 = time.time()
+        cur = StructType.fromJson(m["schema"])
+        key_cols = m["key_cols"]
+        payload_cols = [f.name for f in cur.fields if f.name not in key_cols]
+
+        obs = Observation(f"direct_b{batch_id}")
+        upd = updates.withColumn(_BUCKET_COL, self.bucket_expr()).observe(
+            obs,
+            F.collect_set(_BUCKET_COL).alias("_buckets"),
+            *(audit_aggs or []),
+        )
+        proj = [F.col(k).cast(cur[k].dataType).alias(k) for k in key_cols]
+        for c in payload_cols:
+            fld = cur[c].dataType
+            u_sets = F.array_contains(
+                F.coalesce(F.col(cols_set_col), F.array().cast("array<string>")),
+                c,
+            )
+            proj.append(
+                F.when(u_sets, F.col(c).cast(fld))
+                .otherwise(F.lit(None).cast(fld)).alias(c)
+            )
+        proj.append(F.col(_BUCKET_COL))
+        merged = upd.where(F.col(op_col) != "D").select(*proj)
+
+        v = m["version"] + 1
+        new_entries = self._write_data(merged, v)
+        audits = dict(obs.get)
+        touched = sorted(audits.pop("_buckets") or [])
+        rows_merged = sum(e["rows"] for e in new_entries)
+        smry = {
+            "operation": "merge",
+            "batch_id": batch_id,
+            "buckets": touched,
+            "rows_merged": rows_merged,
+            "wall_ms": int((time.time() - t0) * 1000),
+            **audits,
+            **(summary or {}),
+        }
+        new = dict(m)
+        new.update(
+            version=v, files=new_entries, parent=m["version"],
+            last_batch_id=batch_id,
+            last_scn=max(int(smry.get("scn_max", -1) or -1), m["last_scn"]),
             summary=smry,
         )
         self._commit(new)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql.types import LongType, StringType
 
 from openlogreplicator_spark.config import EngineConfig
@@ -149,6 +149,29 @@ def _merge_slice(
             F.count(F.lit(1)).alias("_n_events"),
         ]
     )
+    if not table.manifest()["files"]:
+        # empty target (bootstrap / first batch): one single-pass job writes
+        # the data files directly — no staging round-trip, no join; the scn
+        # audit and bucket set ride the job via observe()
+        # audit columns stay on the input for observe(); merge_direct's
+        # projection (schema columns only) drops them from the written files
+        s = table.merge_direct(
+            spark, updates_raw,
+            batch_id=composite,
+            audit_aggs=[
+                F.min(F.col("_scn_lo")).alias("scn_min_obs"),
+                F.max(F.col("_scn_hi")).alias("scn_max_obs"),
+                F.coalesce(F.sum("_n_events"), F.lit(0)).alias("events_obs"),
+            ],
+            summary=dict(extra_summary or {}),
+        )
+        if s.get("events_obs", 0) == 0 and not s.get("skipped"):
+            return None
+        s["scn_min"] = s.pop("scn_min_obs", None)
+        s["scn_max"] = s.pop("scn_max_obs", None)
+        s["events_in"] = s.pop("events_obs", None)
+        return s
+
     # stage to parquet rather than .persist(): the merge runs further jobs
     # over `updates` (scn-range audit, join+write) and the in-memory cache
     # serializes concurrent readers of wide string rows on the local block
@@ -160,11 +183,20 @@ def _merge_slice(
     from openlogreplicator_spark.lake import _BUCKET_COL
 
     stage_dir = os.path.join(table.path, "_staging", f"b{composite}")
+    # the scn-range audit rides the staging write via observe() — no extra job
+    obs = Observation(f"rng_b{composite}")
     (
         updates_raw.withColumn(_BUCKET_COL, table.bucket_expr())
+        .observe(
+            obs,
+            F.min("_scn_lo").alias("lo"),
+            F.max("_scn_hi").alias("hi"),
+            F.coalesce(F.sum("_n_events"), F.lit(0)).alias("n"),
+        )
         .repartition(table.num_buckets, F.col(_BUCKET_COL))
         .write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(stage_dir)
     )
+    rng = obs.get
     touched = sorted(
         int(d.split("=")[1])
         for d in os.listdir(stage_dir)
@@ -182,11 +214,6 @@ def _merge_slice(
         return None
     updates = spark.read.parquet(stage_dir)
     try:
-        rng = updates.agg(
-            F.min("_scn_lo").alias("lo"),
-            F.max("_scn_hi").alias("hi"),
-            F.coalesce(F.sum("_n_events"), F.lit(0)).alias("n"),
-        ).collect()[0]
         if rng["n"] == 0:
             # advance the write-audit watermark so retries stay idempotent
             m = dict(table.manifest())

@@ -61,14 +61,18 @@ spark.stop()
 """
 
 
-def run_level(cores: int, n_txs: int) -> dict:
+def run_level(cores: int, n_txs: int, pin: bool = True) -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(CHILD.format(repo=REPO))
         path = f.name
-    out = subprocess.run(
-        [sys.executable, path, str(cores), str(n_txs)],
-        capture_output=True, text=True, timeout=1800,
-    )
+    cmd = [sys.executable, path, str(cores), str(n_txs)]
+    if pin:
+        # pin the whole child (JVM + python workers) to exactly `cores` CPUs:
+        # an N-executor cluster gives the job N CPUs total, so unpinned
+        # local[N] (whose GC/IO/python helper threads overflow onto other
+        # cores) would overstate small-N throughput and understate scaling
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -80,13 +84,14 @@ def main():
     ap.add_argument("--n", type=int, default=8, help="base parallelism N (4N must fit the host)")
     ap.add_argument("--txs", type=int, default=200000)
     ap.add_argument("--repeat", type=int, default=2, help="runs per level; best is kept (noisy-neighbor shield)")
+    ap.add_argument("--no-pin", action="store_true", help="disable taskset CPU pinning")
     args = ap.parse_args()
 
     levels = {}
     for cores in (args.n, 4 * args.n):
         best = None
         for _ in range(args.repeat):
-            r = run_level(cores, args.txs)
+            r = run_level(cores, args.txs, pin=not args.no_pin)
             if best is None or r["eps"] > best["eps"]:
                 best = r
         levels[cores] = best

@@ -13,11 +13,12 @@ spark = (
     SparkSession.builder.master(f"local[{cores}]")
     .config("spark.sql.shuffle.partitions", parts)
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.enabled", __import__("os").environ.get("OLR_AQE", "true"))
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", mem)
     .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     .config("spark.local.dir", "/dev/shm/spark_local_grid")
+    .config("spark.io.compression.codec", __import__("os").environ.get("OLR_CODEC", "lz4"))
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
