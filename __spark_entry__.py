@@ -369,7 +369,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "window_top_orders": """
-            SELECT o_custkey, o_orderkey, rnk FROM (
+            SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
               SELECT o_custkey, o_orderkey,
                      ROW_NUMBER() OVER (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
@@ -420,7 +420,9 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
-    # float scores -> no bit-exact SQL oracle; driver records rows-only check.
+    # Spark F.aggregate is a strict left fold in index order; the DuckDB
+    # oracle mirrors it with list_reduce (also a sequential left fold), so the
+    # IEEE-double cosine is bit-exact on both sides.
     emb = _tbl(spark, sf_dir, "embeddings")
     return S.topk_cosine(emb, emb.where(F.col("vec_id") < 5), k=5)
 
@@ -586,8 +588,8 @@ _TRAINING_ORACLES = {
           GROUP BY doc_id, j
         )
         SELECT doc_id,
-               SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-                 AS simhash
+               CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE 0 END) AS BIGINT) AS simhash
         FROM bitsums GROUP BY doc_id
     """,
     "ann_topk_dot": """
@@ -596,8 +598,9 @@ _TRAINING_ORACLES = {
         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
         scored AS (
           SELECT query_id, neighbor_id,
-            SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE)*1000) AS BIGINT)
-              * CAST(FLOOR(CAST(cv[i] AS DOUBLE)*1000) AS BIGINT)) AS dot
+            CAST(SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE)*1000) AS BIGINT)
+              * CAST(FLOOR(CAST(cv[i] AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+              AS dot
           FROM q, c, (SELECT unnest(generate_series(1,64)) AS i) gi
           WHERE neighbor_id <> query_id
           GROUP BY 1, 2
@@ -615,8 +618,9 @@ _TRAINING_ORACLES = {
               FROM embeddings),
         scored AS (
           SELECT query_id, neighbor_id,
-            SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE)*1000) AS BIGINT)
-              * CAST(FLOOR(CAST(cv[i] AS DOUBLE)*1000) AS BIGINT)) AS dot
+            CAST(SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE)*1000) AS BIGINT)
+              * CAST(FLOOR(CAST(cv[i] AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+              AS dot
           FROM q, c, (SELECT unnest(generate_series(1,64)) AS i) gi
           WHERE neighbor_id <> query_id AND ccell = qcell
           GROUP BY 1, 2
@@ -624,6 +628,37 @@ _TRAINING_ORACLES = {
         SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY dot DESC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+    """,
+    # bit-exact double cosine: Spark's F.aggregate and DuckDB's list_reduce
+    # are both strict left folds in array-index order, and float32 -> double
+    # widening, IEEE multiply/add/sqrt/divide are all deterministic, so the
+    # cos values (and hence the ranking) hash identically.
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1,64),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))),
+              (a,b) -> a + b)
+            / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1,64),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+                (a,b) -> a + b))
+               * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(generate_series(1,64),
+                      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))),
+                  (a,b) -> a + b))) AS cos
+          FROM q, c
+          WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rnk
           FROM scored
         ) WHERE rnk <= 5
     """,

@@ -290,7 +290,22 @@ def sequential_oracle(events: pd.DataFrame, require_begin: bool = True) -> pd.Da
 
     committed.sort(key=lambda t: (t[0], t[1], t[2]))
     state: dict[tuple, dict] = {}
+    # lifecycle DDL interleaves on commit_scn: a transaction with
+    # commit_scn <= ddl_scn applies BEFORE the DDL (the engine slices the
+    # apply identically in plans/replay.py apply_committed)
+    life_ddls = sorted(
+        (scn, txt.strip().split()[0].upper())
+        for scn, txt in ddls
+        if txt and txt.strip().split()[0].upper() in ("TRUNCATE", "DROP")
+    )
+    dropped = False
     for _cscn, _scn, _seq, e in committed:
+        while life_ddls and life_ddls[0][0] < _cscn:
+            _dscn, verb = life_ddls.pop(0)
+            state.clear()
+            dropped = dropped or (verb == "DROP")
+        if dropped:
+            break
         key = (e.conv_id, e.turn_idx)
         if e.op == "D":
             state.pop(key, None)
@@ -302,6 +317,9 @@ def sequential_oracle(events: pd.DataFrame, require_begin: bool = True) -> pd.Da
         img = e.after or {}
         for c in (e.cols_set or []):
             row[c] = img.get(c) if isinstance(img, dict) else img[c]
+
+    if life_ddls:  # DDL after the last commit still applies
+        state.clear()
 
     rows = [
         {"conv_id": k[0], "turn_idx": k[1], **v} for k, v in state.items()

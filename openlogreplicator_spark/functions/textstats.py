@@ -53,7 +53,7 @@ def quality_stats(docs: DataFrame, id_col: str = "doc_id",
     max_word_len). Ratios are downstream arithmetic — kept integer here so
     the oracle comparison is exact."""
     t = normalize_text(F.col(text_col))
-    n_chars = F.length(t).alias("n_chars")
+    n_chars = F.length(t).cast("long").alias("n_chars")
     n_tokens = F.size(F.split(t, " ")).cast("long").alias("n_tokens")
     n_punct = F.length(F.regexp_replace(t, "[^.,;:!?]", "")).cast("long").alias("n_punct")
     n_stop = None

@@ -471,11 +471,20 @@ class LakeTable:
             **audits,
             **(summary or {}),
         }
+        # the scn watermark may arrive either pre-named ("scn_max" in summary)
+        # or as the observed audit alias ("scn_max_obs" from replay's
+        # audit_aggs, renamed by the caller only AFTER this commit) — accept
+        # both, else the commit-scn high-water-mark skip (apply_committed)
+        # would silently never advance past a bootstrap batch.
+        scn_obs = smry.get("scn_max")
+        if scn_obs is None:
+            scn_obs = smry.get("scn_max_obs")
         new = dict(m)
         new.update(
             version=v, files=new_entries, parent=m["version"],
             last_batch_id=batch_id,
-            last_scn=max(int(smry.get("scn_max", -1) or -1), m["last_scn"]),
+            last_scn=max(int(scn_obs if scn_obs is not None else -1),
+                         m["last_scn"]),
             summary=smry,
         )
         self._commit(new)
@@ -483,6 +492,37 @@ class LakeTable:
         return smry
 
     # ------------------------------------------------------------- evolution
+
+    def truncate(self) -> None:
+        """TRUNCATE TABLE: commit an empty file list (metadata-only — data
+        files are unreferenced, not deleted, exactly like Iceberg TRUNCATE
+        which adds a delete-all snapshot). Reference: DDL type 85,
+        OpCode1801.cpp:50-57 — OLR only *reports* it; we apply it.
+
+        The scn/batch watermarks are preserved: a truncate does not license
+        re-applying transactions that committed before it."""
+        m = dict(self.manifest())
+        m.update(
+            version=m["version"] + 1, parent=m["version"], files=[],
+            summary={"operation": "truncate"},
+        )
+        self._commit(m)
+
+    def mark_dropped(self) -> None:
+        """DROP TABLE: tombstone manifest (empty file list + dropped flag).
+        Subsequent merges become no-ops; reads return an empty DataFrame.
+        Reference: DDL type 12, OpCode1801.cpp:50-57."""
+        m = dict(self.manifest())
+        props = dict(m.get("properties") or {})
+        props["dropped"] = True
+        m.update(
+            version=m["version"] + 1, parent=m["version"], files=[],
+            properties=props, summary={"operation": "drop"},
+        )
+        self._commit(m)
+
+    def is_dropped(self) -> bool:
+        return bool((self.manifest().get("properties") or {}).get("dropped"))
 
     def alter_add_column(self, name: str, spark_type) -> None:
         """Metadata-only ADD COLUMN (Iceberg schema evolution). The reference

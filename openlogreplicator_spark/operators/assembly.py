@@ -192,7 +192,12 @@ def assemble_transactions_pandas(
             res = pd.concat([res, openr], ignore_index=True)
         return res
 
-    slim = events.select(
+    # drop null-xid rows BEFORE grouping: pd.factorize assigns code -1 to
+    # nulls, which would index the LAST group's verdict (a null-xid DML would
+    # silently inherit another transaction's commit). The SQL path drops them
+    # too (a null-xid partition has no commit event -> not committed), so the
+    # two paths stay equivalent.
+    slim = events.where(F.col("xid").isNotNull()).select(
         "xid", "scn", "seq", "op",
         F.pmod(F.xxhash64(F.col("xid")), F.lit(num_groups)).alias("_g"),
     )

@@ -27,19 +27,35 @@ VALID_OPS = ("B", "C", "R", "I", "U", "D", "PR", "DDL")
 DML_OPS = ("I", "U", "D")
 
 
+# Unicode-aware trailing-whitespace class, spelled out explicitly because
+# Java regex \s is ASCII-only while Python/pandas \s is Unicode-aware: both
+# paths use this SAME class so they cannot diverge on NBSP/NEL/ideographic
+# space in real transcript text. (Python \s additionally matches \x1c-\x1f,
+# but those are removed by the control-char strip first, so the paths are
+# exactly equivalent — pinned by test_functions.test_normalize_paths_equal.)
+_TRAILING_WS = (
+    "[\\s\\u0085\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]+$"
+)
+
+
 @pandas_udf(StringType())
 def _normalize_text_pandas(s: pd.Series) -> pd.Series:
     """Arrow-batched payload transform (vectorized pandas string kernel).
     Semantically identical to the JVM expression below; kept as the escape
     hatch for transforms built-ins can't express (tested equal)."""
-    return s.str.replace(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", regex=True).str.rstrip()
+    return (
+        s.str.replace(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", regex=True)
+        .str.replace(_TRAILING_WS, "", regex=True)
+    )
 
 
 def _normalize_text_jvm(c):
     """Whole-stage-codegen path: control-char strip + trailing-ws trim.
     Hot-path default — stays inside Tungsten, no Python exchange."""
     return F.regexp_replace(
-        F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""), "\\s+$", ""
+        F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+        _TRAILING_WS, ""
     )
 
 

@@ -45,15 +45,35 @@ def bootstrap_target(path: str, cfg: EngineConfig) -> LakeTable:
 
 
 def _apply_ddl(table: LakeTable, ddl: str) -> None:
-    """Apply one DDL event to the target (schema evolution)."""
+    """Apply one DDL event to the target (schema evolution + lifecycle).
+
+    Verbs mirror the reference's DDL types (OpCode1801.cpp:50-57:
+    85=truncate, 12=drop, 15=alter, 86=truncate-partition):
+      ADD COLUMN <name> <type> / WIDEN <name> <type>  (alter, applied)
+      TRUNCATE [TABLE [<name>]] / TRUNCATE PARTITION  (empty-snapshot commit)
+      DROP [TABLE [<name>]]                           (tombstone manifest)
+    Unknown verbs are LOGGED AND SKIPPED — never poison the batch. That is
+    the reference's own behavior: it only *reports* DDL text downstream
+    (OutputBuffer.cpp:1957-2007) and keeps streaming.
+    """
+    import logging
+
     parts = ddl.strip().split()
-    kind = parts[0].upper()
-    if kind == "ADD" and parts[1].upper() == "COLUMN":
+    kind = parts[0].upper() if parts else ""
+    if kind == "ADD" and len(parts) >= 4 and parts[1].upper() == "COLUMN":
         table.alter_add_column(parts[2], _spark_type(parts[3]))
-    elif kind == "WIDEN":
+    elif kind == "WIDEN" and len(parts) >= 3:
         table.alter_widen(parts[1], _spark_type(parts[2]))
+    elif kind == "TRUNCATE":
+        # partition-level truncate (type 86) degrades to full truncate: the
+        # lake target is not partition-aligned with the source's partitions
+        table.truncate()
+    elif kind == "DROP":
+        table.mark_dropped()
     else:
-        raise ValueError(f"unsupported DDL: {ddl}")
+        logging.getLogger(__name__).warning(
+            "skipping unrecognized DDL (reported, not applied): %r", ddl
+        )
 
 
 def _spark_type(name: str):
@@ -106,7 +126,11 @@ def apply_committed(
     summaries: list[dict] = []
     try:
         for sub, (lo, hi) in enumerate(bounds):
-            if sub > 0:
+            if sub > 0 and batch_id * 1024 + sub > table.last_batch_id():
+                # apply the DDL only if its following slice has not landed:
+                # ADD/WIDEN are naturally idempotent, but a re-applied
+                # TRUNCATE on a retried batch would wipe rows merged AFTER
+                # it (write-audit guard; caught by spark-submit verify)
                 _apply_ddl(table, ddls[sub - 1][1])
             part = assembled
             if lo is not None:
@@ -134,6 +158,17 @@ def _merge_slice(
     composite = batch_id * 1024 + sub
     if composite <= table.last_batch_id():
         return {"operation": "merge", "skipped": True, "batch_id": composite}
+    if table.is_dropped():
+        # a DROP DDL landed earlier in this feed: later events have no
+        # target — consume them as a no-op (watermark still advances so a
+        # retried batch stays idempotent)
+        m = dict(table.manifest())
+        m.update(version=m["version"] + 1, parent=m["version"],
+                 last_batch_id=composite,
+                 summary={"operation": "noop-dropped", "batch_id": composite})
+        table._commit(m)
+        return {"operation": "merge", "skipped": True, "batch_id": composite,
+                "reason": "table dropped"}
 
     payload_cols = [
         f.name for f in table.schema().fields if f.name not in table.key_cols

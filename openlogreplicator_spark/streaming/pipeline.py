@@ -72,7 +72,12 @@ class CDCStreamPipeline:
         spark = batch_df.sparkSession
         decoded = decode_events(batch_df, self.cfg)
         ddls = collect_ddls(decoded)
-        dml = decoded.where(F.col("op") != "DDL")
+        # control-table events drive the M4 shutdown probe only — they must
+        # NOT reach assembly (a '_control' begin would sit in the pending
+        # open-transaction store forever, re-delivered into every batch)
+        dml = decoded.where(
+            (F.col("op") != "DDL") & (F.col("table") != self.control_table)
+        )
 
         # one pass over the raw slice: per-source-partition lineage (before
         # any shuffle) + the M4 control-table probe (graceful-shutdown event)
@@ -168,7 +173,12 @@ class CDCStreamPipeline:
         first, so microbatches are contiguous scn slices (LWN analog)."""
         from openlogreplicator_spark.streaming import metrics as _metrics
 
-        _metrics.attach(spark, self.state_dir)
+        # attach ONE listener per pipeline (a shared test SparkSession would
+        # otherwise accumulate listeners across runs); detach_metrics()
+        # removes it after the query ends
+        if getattr(self, "_listener", None) is None:
+            self._listener = _metrics.attach(spark, self.state_dir)
+            self._listener_spark = spark
         src = (
             spark.readStream.schema(CHANGE_EVENT_SCHEMA)
             .option("maxFilesPerTrigger", self.cfg.maxFilesPerTrigger)
@@ -200,3 +210,15 @@ class CDCStreamPipeline:
                 break
             _t.sleep(poll_seconds)
         query.awaitTermination()
+
+    def detach_metrics(self) -> None:
+        """Remove this pipeline's StreamingQueryListener from the session
+        (listener events are delivered asynchronously — callers that assert
+        on metrics should poll read_metrics with a timeout first)."""
+        lst = getattr(self, "_listener", None)
+        if lst is not None:
+            try:
+                self._listener_spark.streams.removeListener(lst)
+            except Exception:
+                pass
+            self._listener = None

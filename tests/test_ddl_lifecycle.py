@@ -1,0 +1,126 @@
+"""Lifecycle DDL (TRUNCATE / DROP / unknown verbs) — reference DDL types
+85/12/86/15 (OpCode1801.cpp:50-57). Round-1 behavior raised ValueError on
+any verb beyond ADD COLUMN / WIDEN, poisoning the batch; now TRUNCATE commits
+an empty snapshot, DROP tombstones the table, and unrecognized DDL is
+logged-and-skipped (the reference itself only reports DDL text and keeps
+streaming, OutputBuffer.cpp:1957-2007).
+"""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.config import EngineConfig
+from openlogreplicator_spark.feed import (
+    CHANGE_EVENT_SCHEMA,
+    generate_change_events,
+    pandas_to_events_df,
+    sequential_oracle,
+)
+from openlogreplicator_spark.plans.replay import bootstrap_target, replay_batch
+from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+CFG = EngineConfig(num_buckets=4)
+
+
+def _with_ddl_row(spark, events, ddl_text, scn=None):
+    """Inject one DDL event at (just above) the median scn of the feed."""
+    if scn is None:
+        scns = sorted(r[0] for r in events.select("scn").collect())
+        scn = scns[len(scns) // 2]
+    row = spark.createDataFrame(
+        [(int(scn), 0, "ddl-x", "DDL", "transcripts", None, None, None, None,
+          [], [], ddl_text, None)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    # keep (scn, seq) unique: drop any data event sharing the scn
+    return events.where(F.col("scn") != int(scn)).unionByName(row), int(scn)
+
+
+def _final_state(table, spark):
+    pdf = table.read(spark).toPandas()
+    return (
+        pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        .astype({"turn_idx": "int64"})
+    )
+
+
+def _assert_eq(got, want):
+    want = want.astype({"turn_idx": "int64"})
+    got = got[want.columns.tolist()]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_replay_with_truncate_matches_oracle(spark, tmp_path):
+    events = generate_change_events(spark, n_txs=200, n_convs=25, seed=13)
+    feed, _scn = _with_ddl_row(spark, events, "TRUNCATE TABLE transcripts")
+    oracle = sequential_oracle(feed.toPandas()).drop(columns=["meta"])
+    assert len(oracle) > 0, "transactions after the truncate must survive"
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    replay_batch(spark, feed, table, CFG, batch_id=1)
+    ops = [s["summary"]["operation"] for s in
+           (table.manifest(v) for v in range(table.current_version() + 1))]
+    assert "truncate" in ops
+    _assert_eq(_final_state(table, spark), oracle)
+
+
+def test_streaming_with_truncate_matches_oracle(spark, tmp_path):
+    events = generate_change_events(spark, n_txs=150, n_convs=20, seed=17)
+    feed, _scn = _with_ddl_row(spark, events, "TRUNCATE")
+    pdf = feed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    oracle = sequential_oracle(pdf).drop(columns=["meta"])
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"))
+    n = len(pdf)
+    for i in range(3):
+        lo, hi = (n * i) // 3, (n * (i + 1)) // 3
+        pipe.process_batch(pandas_to_events_df(spark, pdf.iloc[lo:hi]), i)
+    _assert_eq(_final_state(table, spark), oracle)
+
+
+def test_truncate_retry_is_noop(spark, tmp_path):
+    """Replaying a batch containing a TRUNCATE must NOT re-truncate: the DDL
+    applies only when its following slice is above the write-audit watermark
+    (a re-applied truncate would wipe rows merged after it — caught by the
+    spark-submit verify drive)."""
+    events = generate_change_events(spark, n_txs=150, n_convs=20, seed=31)
+    feed, _scn = _with_ddl_row(spark, events, "TRUNCATE TABLE transcripts")
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    replay_batch(spark, feed, table, CFG, batch_id=1)
+    rows1 = table.read(spark).count()
+    assert rows1 > 0
+    v1 = table.current_version()
+    out = replay_batch(spark, feed, table, CFG, batch_id=1)
+    assert all(s.get("skipped") for s in out if s is not None)
+    assert table.current_version() == v1
+    assert table.read(spark).count() == rows1
+
+
+def test_drop_tombstones_table(spark, tmp_path):
+    events = generate_change_events(spark, n_txs=120, n_convs=15, seed=19)
+    feed, _scn = _with_ddl_row(spark, events, "DROP TABLE transcripts")
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    replay_batch(spark, feed, table, CFG, batch_id=1)
+    assert table.is_dropped()
+    assert table.read(spark).count() == 0
+    # post-drop batches are consumed as no-ops, never an error
+    more = generate_change_events(spark, n_txs=20, n_convs=5, seed=23)
+    out = replay_batch(spark, more, table, CFG, batch_id=2)
+    assert all(s.get("skipped") for s in out if s is not None)
+    assert table.read(spark).count() == 0
+
+
+def test_unknown_ddl_is_skipped_not_fatal(spark, tmp_path):
+    events = generate_change_events(spark, n_txs=100, n_convs=15, seed=29)
+    feed, _scn = _with_ddl_row(spark, events, "ANALYZE TABLE transcripts")
+    oracle = sequential_oracle(feed.toPandas()).drop(columns=["meta"])
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    replay_batch(spark, feed, table, CFG, batch_id=1)  # must not raise
+    _assert_eq(_final_state(table, spark), oracle)

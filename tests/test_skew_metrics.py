@@ -81,12 +81,24 @@ def test_metrics_listener_and_control_shutdown(spark, tmp_path):
 
     table = bootstrap_target(str(tmp_path / "tbl"), CFG)
     pipe = CDCStreamPipeline(table, CFG, state_dir)
-    q = pipe.run_stream(spark, feed_dir, ckpt, available_now=True)
-    pipe.run_until_shutdown(q)
+    try:
+        q = pipe.run_stream(spark, feed_dir, ckpt, available_now=True)
+        pipe.run_until_shutdown(q)
 
-    assert pipe.shutdown_requested
-    assert table.read(spark).count() > 0
-    evs = read_metrics(state_dir)
-    kinds = {e["event"] for e in evs}
-    assert "started" in kinds and "progress" in kinds
-    assert any(e.get("num_input_rows", 0) > 0 for e in evs)
+        assert pipe.shutdown_requested
+        assert table.read(spark).count() > 0
+        # listener events are delivered asynchronously on the listener bus —
+        # poll with a timeout instead of racing it (in-suite flake fix)
+        import time
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            evs = read_metrics(state_dir)
+            kinds = {e["event"] for e in evs}
+            if ("started" in kinds and "progress" in kinds
+                    and any(e.get("num_input_rows", 0) > 0 for e in evs)):
+                break
+            time.sleep(0.25)
+        assert "started" in kinds and "progress" in kinds
+        assert any(e.get("num_input_rows", 0) > 0 for e in evs)
+    finally:
+        pipe.detach_metrics()

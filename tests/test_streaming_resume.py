@@ -114,15 +114,20 @@ def test_stream_kill_and_resume(spark, tmp_path):
     for h in hidden:
         os.rename(h, os.path.join(stash, os.path.basename(h)))
 
-    q = pipe.run_stream(spark, feed_dir, ckpt, available_now=True)
-    q.awaitTermination(120)
-    assert not q.isActive
+    try:
+        q = pipe.run_stream(spark, feed_dir, ckpt, available_now=True)
+        q.awaitTermination(120)
+        assert not q.isActive
 
-    # phase 2: new files arrive; resume from the same checkpoint
-    for h in hidden:
-        os.rename(os.path.join(stash, os.path.basename(h)), h)
-    q = pipe.run_stream(spark, feed_dir, ckpt, available_now=True)
-    q.awaitTermination(120)
+        # phase 2: new files arrive; resume from the same checkpoint
+        for h in hidden:
+            os.rename(os.path.join(stash, os.path.basename(h)), h)
+        q = pipe.run_stream(spark, feed_dir, ckpt, available_now=True)
+        q.awaitTermination(120)
+    finally:
+        # the shared test SparkSession outlives tmp_path — leaving the
+        # listener attached would have it append to a deleted dir later
+        pipe.detach_metrics()
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     _assert_eq(_state(table, spark, cols), oracle)

@@ -39,6 +39,69 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def spark_canon(dt) -> str:
+    """Canonical type name for a Spark DataType (driver hash is type-aware:
+    DuckDB SUM(BIGINT)->HUGEINT vs Spark long must be caught here)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "i64"
+    if isinstance(dt, T.IntegerType):
+        return "i32"
+    if isinstance(dt, (T.ShortType, T.ByteType)):
+        return "i32"
+    if isinstance(dt, T.DoubleType):
+        return "f64"
+    if isinstance(dt, T.FloatType):
+        return "f32"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.DecimalType):
+        return f"dec({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_canon(dt.elementType)}>"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    return dt.simpleString()
+
+
+def arrow_canon(t) -> str:
+    """Canonical type name for an Arrow type (DuckDB result)."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "i64"
+    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+        return "i32"
+    if pa.types.is_decimal(t):
+        # DuckDB HUGEINT surfaces as decimal128(38,0) — NOT i64
+        return f"dec({t.precision},{t.scale})"
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_float32(t):
+        return "f32"
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or str(t) == "string_view"):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_canon(t.value_type)}>"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    return str(t)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -77,17 +140,25 @@ def main():
             print(f"  {name:28s} rows={len(srows):7d} spark={t_spark:6.1f}s  (no oracle — rows-only)")
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        otab = con.execute(oracles[name]).arrow()
+        ocols = otab.schema.names
+        otypes = {f.name: arrow_canon(f.type) for f in otab.schema}
+        orows = [tuple(r.values()) for r in otab.to_pylist()]
         t_duck = time.time() - t0
 
+        stypes = {f.name: spark_canon(f.dataType) for f in sdf.schema.fields}
         sc, sr = norm_rows(scols, srows)
         oc, orr = norm_rows(ocols, orows)
         ok = True
         if sc != oc:
             ok = False
             print(f"FAIL {name}: columns spark={sc} duck={oc}")
+        elif stypes != otypes:
+            ok = False
+            bad = {c: (stypes.get(c), otypes.get(c))
+                   for c in set(stypes) | set(otypes)
+                   if stypes.get(c) != otypes.get(c)}
+            print(f"FAIL {name}: column TYPES differ (spark, duck): {bad}")
         elif len(sr) != len(orr):
             ok = False
             print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(orr)}")
