@@ -25,7 +25,7 @@ from pyspark.sql.types import StructType
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from openlogreplicator_spark.config import EngineConfig
-from openlogreplicator_spark.feed_from_events import FEED_SQL, derive_feed
+from openlogreplicator_spark.feed_from_events import FEED_SQL, derive_feed, feed_sql
 from openlogreplicator_spark.lake import LakeTable
 from openlogreplicator_spark.operators.decode import feed_audit
 from openlogreplicator_spark.operators.lww import net_changes
@@ -161,6 +161,54 @@ def _q_update_trim(spark, sf_dir):
     return d.where(F.col("has_prev")).select("event_id", "user_id", "value_changed")
 
 
+def _q_start_scn(spark, sf_dir):
+    """Start-position mode (reference scn/seq/ts/NOW start resolution,
+    OpenLogReplicator.cpp:661-704): assemble from the feed's median scn.
+    require_begin=False because every xid in the driver feed interleaves
+    across the full scn range — a mid-stream start applies the visible tail
+    of in-flight transactions (their commit is still in view)."""
+    from openlogreplicator_spark.operators.decode import apply_start_position
+
+    ev = derive_feed(spark, sf_dir)
+    start = ev.agg(F.max("scn")).collect()[0][0] // 2
+    cfg = EngineConfig(start_scn=int(start), require_begin=False)
+    out = assemble_transactions_sql(apply_start_position(ev, cfg), cfg)
+    return out.select("xid", "scn", "op", "commit_scn")
+
+
+def _q_multi_table(spark, sf_dir):
+    """Multi-table routing: one feed carrying two targets (table routed by
+    scn parity for DML); each target merges with its own watermark, then the
+    final states are unioned with a table tag."""
+    from openlogreplicator_spark.plans.replay import replay_batch_multi
+
+    ev = derive_feed(spark, sf_dir)
+    is_dml = F.col("op").isin("I", "U", "D")
+    ev = ev.withColumn(
+        "table",
+        F.when(~is_dml, F.lit("transcripts")).otherwise(
+            F.when(F.col("scn") % 2 == 0, F.lit("transcripts"))
+            .otherwise(F.lit("notes"))
+        ),
+    )
+    tables = {}
+    for name in ("transcripts", "notes"):
+        path = tempfile.mkdtemp(prefix=f"olr_multi_{name}_")
+        tables[name] = LakeTable.create(
+            path, _DERIVED_TARGET, ["conv_id", "turn_idx"],
+            num_buckets=_CFG.num_buckets,
+        )
+    replay_batch_multi(spark, ev, tables, _CFG, batch_id=0)
+    parts = []
+    for name, t in tables.items():
+        parts.append(t.read(spark).select(
+            F.lit(name).alias("tbl"), "conv_id", "turn_idx", "role", "text",
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts_str"),
+        ))
+    return parts[0].unionByName(parts[1])
+
+
 def _q_multirow_unnest(spark, sf_dir):
     """D5 multi-row unnest analog: explode word arrays into per-word rows."""
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
@@ -220,6 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_final_state,
         "cdc_lww_dedup": _q_lww_dedup,
         "cdc_commit_order": _q_commit_order,
+        "cdc_start_scn": _q_start_scn,
+        "cdc_multi_table": _q_multi_table,
         "cdc_update_trim": _q_update_trim,
         "cdc_multirow_unnest": _q_multirow_unnest,
         "agg_pricing_summary": _q_pricing_summary,
@@ -307,6 +357,44 @@ SELECT conv_id, turn_idx,
 FROM per_key
 """
 
+# multi-table final state: same per-column LWW as _FINAL_STATE_SQL, but
+# routed by scn parity (the driver query's table assignment) and grouped by
+# (tbl, key) — each target evolves independently.
+_MULTI_TABLE_SQL = FEED_SQL + f""",
+acts AS (
+  SELECT CASE WHEN scn % 2 = 0 THEN 'transcripts' ELSE 'notes' END AS tbl,
+         conv_id, turn_idx, op,
+         commit_scn * {_ORD} + scn AS ord,
+         CASE WHEN NOT trimmed THEN event_type END AS role_v,
+         text_v,
+         CASE WHEN NOT trimmed THEN strftime(src_ts, '%Y-%m-%d %H:%M:%S.%f') END AS ts_v,
+         NOT trimmed AS sets_role,
+         op IN ('I','U') AS sets_text,
+         NOT trimmed AS sets_ts
+  FROM surv
+), per_key AS (
+  SELECT tbl, conv_id, turn_idx,
+    COALESCE(MAX(CASE WHEN op = 'D' THEN ord END), -1) AS del_ord,
+    MAX(CASE WHEN op <> 'D' THEN ord END) AS w_ord,
+    arg_max(role_v, CASE WHEN op <> 'D' AND sets_role AND role_v IS NOT NULL
+                         THEN ord END) AS role_last,
+    MAX(CASE WHEN op <> 'D' AND sets_role THEN ord END) AS role_ord,
+    arg_max(text_v, CASE WHEN op <> 'D' AND sets_text THEN ord END) AS text_last,
+    MAX(CASE WHEN op <> 'D' AND sets_text THEN ord END) AS text_ord,
+    arg_max(ts_v, CASE WHEN op <> 'D' AND sets_ts AND ts_v IS NOT NULL
+                       THEN ord END) AS ts_last,
+    MAX(CASE WHEN op <> 'D' AND sets_ts THEN ord END) AS ts_ord
+  FROM acts
+  GROUP BY tbl, conv_id, turn_idx
+)
+SELECT tbl, conv_id, turn_idx,
+  CASE WHEN role_ord > del_ord THEN role_last END AS role,
+  CASE WHEN text_ord > del_ord THEN text_last END AS text,
+  CASE WHEN ts_ord > del_ord THEN ts_last END AS ts_str
+FROM per_key
+WHERE w_ord IS NOT NULL AND w_ord > del_ord
+"""
+
 _LWW_SQL = FEED_SQL + """,
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
@@ -338,6 +426,13 @@ def oracle_sql() -> dict[str, str]:
                    MIN(scn) AS first_scn, MAX(scn) AS last_scn
             FROM surv GROUP BY xid, commit_scn
         """,
+        "cdc_start_scn": feed_sql(
+            "scn >= (SELECT MAX(event_id)//2 FROM events)",
+            require_begin=False,
+        ) + """
+            SELECT xid, scn, op, commit_scn FROM surv
+        """,
+        "cdc_multi_table": _MULTI_TABLE_SQL,
         "cdc_update_trim": """
             SELECT event_id, user_id, value <> prev AS value_changed
             FROM (
@@ -409,6 +504,14 @@ def _q_dedup_simhash(spark, sf_dir):
     return D.simhash(_tbl(spark, sf_dir, "documents"), bits=32)
 
 
+def _q_dedup_simhash_neardup(spark, sf_dir):
+    """Banded-prefix Hamming join at radius 3 (complete by pigeonhole with
+    4 bands); the oracle verifies with an all-pairs popcount at sf scale."""
+    return D.simhash_neardup_pairs(
+        _tbl(spark, sf_dir, "documents"), bits=32, radius=3, bands=4
+    )
+
+
 def _q_ann_topk_dot(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     return S.topk_dot_quantized(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -459,6 +562,7 @@ _TRAINING_QUERIES = {
     "dedup_minhash_sig": _q_dedup_minhash_sig,
     "dedup_lsh_pairs": _q_dedup_lsh_pairs,
     "dedup_simhash": _q_dedup_simhash,
+    "dedup_simhash_neardup": _q_dedup_simhash_neardup,
     "ann_topk_dot": _q_ann_topk_dot,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_cosine_topk": _q_ann_cosine_topk,
@@ -541,6 +645,27 @@ FROM norm n
 """
 
 
+# SimHash computation shared by the signature + Hamming-near-dup oracles
+_SIMHASH_BODY = """
+, alltoks AS (
+  SELECT doc_id, unnest(w) AS tok FROM toks
+), th AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+      list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+      (a,b) -> (a*31+b) % 1000000007) AS h
+  FROM alltoks
+), bitsums AS (
+  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS bsum
+  FROM th, (SELECT unnest(generate_series(0,31)) AS j) js
+  GROUP BY doc_id, j
+), sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsums GROUP BY doc_id
+)
+"""
+
 _TRAINING_ORACLES = {
     "dedup_exact": _DOCS_SQL + """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
@@ -574,23 +699,14 @@ _TRAINING_ORACLES = {
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     """,
-    "dedup_simhash": _DOCS_SQL + """
-        , alltoks AS (
-          SELECT doc_id, unnest(w) AS tok FROM toks
-        ), th AS (
-          SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
-              list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
-              (a,b) -> (a*31+b) % 1000000007) AS h
-          FROM alltoks
-        ), bitsums AS (
-          SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS bsum
-          FROM th, (SELECT unnest(generate_series(0,31)) AS j) js
-          GROUP BY doc_id, j
-        )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j)
-                             ELSE 0 END) AS BIGINT) AS simhash
-        FROM bitsums GROUP BY doc_id
+    "dedup_simhash": _DOCS_SQL + _SIMHASH_BODY + """
+        SELECT doc_id, simhash FROM sims
+    """,
+    "dedup_simhash_neardup": _DOCS_SQL + _SIMHASH_BODY + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "ann_topk_dot": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -611,19 +727,52 @@ _TRAINING_ORACLES = {
           FROM scored
         ) WHERE rnk <= 5
     """,
+    # fitted IVF mirror (similarity.fit_ivf_cells + topk_ivf): seed cells =
+    # vec_id % 8, integer centroids (floor-mean per dim), argmin reassignment
+    # encoded as MIN(dist*8 + cell), 2-probe fan-out, quantized-dot scoring —
+    # every step integer/IEEE-exact on both sides.
     "ann_ivf_topk": """
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qcell
-                   FROM embeddings WHERE vec_id < 5),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS ccell
-              FROM embeddings),
-        scored AS (
-          SELECT query_id, neighbor_id,
-            CAST(SUM(CAST(FLOOR(CAST(qv[i] AS DOUBLE)*1000) AS BIGINT)
-              * CAST(FLOOR(CAST(cv[i] AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
-              AS dot
-          FROM q, c, (SELECT unnest(generate_series(1,64)) AS i) gi
-          WHERE neighbor_id <> query_id AND ccell = qcell
-          GROUP BY 1, 2
+        WITH v AS (
+          SELECT vec_id,
+            list_transform(generate_series(1,64),
+              i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT))
+              AS qv,
+            vec_id % 8 AS cell0
+          FROM embeddings
+        ), dims AS (SELECT unnest(generate_series(1,64)) AS i),
+        cent AS (
+          SELECT cell0 AS cell, i,
+            CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE)/COUNT(*)) AS BIGINT) AS c
+          FROM v, dims GROUP BY cell0, i
+        ), centv AS (
+          SELECT cell, list(c ORDER BY i) AS cv FROM cent GROUP BY cell
+        ), assign AS (
+          SELECT vec_id, CAST(MIN(
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1,64),
+                i -> (qv[i]-cv[i])*(qv[i]-cv[i]))), (a,b)->a+b) * 8 + cell
+          ) % 8 AS INT) AS cell
+          FROM v, centv GROUP BY vec_id
+        ), q AS (SELECT vec_id AS query_id, qv AS qqv FROM v WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, qqv, cell FROM (
+            SELECT q.query_id, q.qqv, centv.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1,64),
+                    i -> (qqv[i]-cv[i])*(qqv[i]-cv[i]))), (a,b)->a+b) * 8
+                  + centv.cell) AS pr
+            FROM q, centv
+          ) WHERE pr <= 2
+        ), scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1,64),
+                i -> p.qqv[i]*m.qv[i])), (a,b)->a+b) AS BIGINT) AS dot
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN v m ON m.vec_id = a.vec_id
+          WHERE a.vec_id <> p.query_id
         )
         SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

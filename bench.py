@@ -95,6 +95,20 @@ def main() -> None:
         assemble_transactions_sql(derive_feed(spark, sf_dir), cfg),
         ["conv_id", "turn_idx"], ["role", "text", "ts"]).count())
 
+    # O1/W2: per-transaction JSON serialization + file sink (a real write —
+    # count() would let Catalyst prune the to_json render)
+    from openlogreplicator_spark.sinks import (
+        change_stream_messages, write_change_stream,
+    )
+
+    def _json_stream():
+        d = tempfile.mkdtemp(prefix="olr_bench_js_")
+        write_change_stream(change_stream_messages(
+            assemble_transactions_sql(derive_feed(spark, sf_dir), cfg), cfg), d)
+        shutil.rmtree(d, ignore_errors=True)
+
+    timed("cdc_json_stream", _json_stream)
+
     # driver-contract analytics queries at bench scale
     for name in ("cdc_lww_dedup", "agg_pricing_summary", "join_nation_orders",
                  "window_top_orders", "cdc_multirow_unnest"):

@@ -46,6 +46,13 @@ def main(argv: list[str]) -> None:
     p.add_argument("--checkpoint")
     p.add_argument("--state-dir")
     p.add_argument("--batch-id", type=int, default=0)
+    # start-position modes (OLR start by scn/seq/timestamp,
+    # OpenLogReplicator.cpp:661-704) — pushed-down feed predicates
+    p.add_argument("--start-scn", type=int)
+    p.add_argument("--start-seq", type=int)
+    p.add_argument("--start-ts")
+    # W1/W2 analog: serialize committed transactions as JSON messages
+    p.add_argument("--change-stream-dir")
     args = p.parse_args(argv)
 
     from openlogreplicator_spark.config import EngineConfig
@@ -54,7 +61,10 @@ def main(argv: list[str]) -> None:
     from openlogreplicator_spark.plans.replay import bootstrap_target, replay_batch
 
     spark = build_spark(f"olr-cdc-{args.mode}")
-    cfg = EngineConfig()
+    cfg = EngineConfig(
+        start_scn=args.start_scn, start_seq=args.start_seq,
+        start_ts=args.start_ts,
+    )
 
     if args.mode == "replay":
         table = (
@@ -86,7 +96,10 @@ def main(argv: list[str]) -> None:
             if LakeTable.exists(args.target)
             else bootstrap_target(args.target, cfg)
         )
-        pipe = CDCStreamPipeline(table, cfg, args.state_dir)
+        pipe = CDCStreamPipeline(
+            table, cfg, args.state_dir,
+            change_stream_dir=args.change_stream_dir,
+        )
         q = pipe.run_stream(
             spark, args.feed_dir, args.checkpoint, available_now=True
         )

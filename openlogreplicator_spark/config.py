@@ -36,6 +36,18 @@ class EngineConfig:
     # conversation cannot pin a single task (north-rule skew requirement).
     assembly_buckets_per_core: int = 4
 
+    # start-position modes — the reference resolves a start position by scn /
+    # sequence / timestamp / NOW before tailing (OpenLogReplicator.cpp:661-704,
+    # OracleAnalyzerOnline.cpp:513-626). Here they become pushed-down feed
+    # predicates (scn >= start_scn etc.) applied before decode, so the parquet
+    # scan prunes everything older. None = start from the feed's beginning.
+    # Note: transactions already in flight at the start position have no
+    # begin event in view and are skipped (require_begin), exactly like the
+    # reference starting mid-stream.
+    start_scn: int | None = None
+    start_seq: int | None = None
+    start_ts: str | None = None  # ISO 'YYYY-MM-DD HH:MM:SS' (feed ts column)
+
     # checkpoint cadence analog (Writer.cpp:325-354) — streaming trigger seconds.
     trigger_seconds: float = 1.0
 

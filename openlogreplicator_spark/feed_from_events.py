@@ -117,8 +117,12 @@ def derive_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The DuckDB mirror of derive_feed(): CTEs `feed` (raw) and `surv`
 # (committed surviving DML, the assemble_transactions output). Oracle queries
-# in __spark_entry__.py compose on top of these.
-FEED_SQL = """
+# in __spark_entry__.py compose on top of these. ``feed_sql(start_pred)``
+# injects a start-position predicate between op assignment and assembly —
+# the mirror of apply_start_position() running before decode: ops are
+# assigned on the FULL feed (seq/cnt windows), then pre-start rows drop, so
+# transactions already in flight lose their begin and are skipped.
+_FEED_SQL_TEMPLATE = """
 WITH feed AS (
   SELECT
     event_id AS scn,
@@ -147,6 +151,8 @@ WITH feed AS (
     (op = 'U' AND scn % 5 = 0) AS trimmed,
     'v' || CAST(scn AS VARCHAR) AS text_v
   FROM ops
+), started AS (
+  SELECT * FROM keyed WHERE {start_pred}
 ), ann AS (
   SELECT *,
     MAX(CASE WHEN op = 'C' THEN scn END) OVER (PARTITION BY xid) AS commit_scn,
@@ -156,7 +162,7 @@ WITH feed AS (
              WHEN op IN ('I','U','D') THEN 1 ELSE 0 END)
       OVER (PARTITION BY xid ORDER BY scn
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-  FROM keyed
+  FROM started
 ), ann2 AS (
   SELECT *,
     MIN(running) OVER (PARTITION BY xid ORDER BY scn
@@ -166,6 +172,22 @@ WITH feed AS (
   SELECT * FROM ann2
   WHERE op IN ('I','U','D')
     AND suffix_min >= running
-    AND commit_scn IS NOT NULL AND rolled = 0 AND has_begin = 1
+    AND commit_scn IS NOT NULL AND rolled = 0 AND {begin_pred}
 )
 """
+
+
+def feed_sql(start_pred: str = "TRUE", require_begin: bool = True) -> str:
+    """FEED_SQL with a start-position predicate (DuckDB boolean expression
+    over the ``keyed`` columns, e.g. ``scn >= 1000``). ``require_begin=False``
+    mirrors EngineConfig(require_begin=False): transactions whose begin lies
+    before the start position still flush their visible tail (the events
+    table interleaves every xid across the whole scn range, so a mid-stream
+    start with begin-gating would always be empty)."""
+    return _FEED_SQL_TEMPLATE.format(
+        start_pred=start_pred,
+        begin_pred="has_begin = 1" if require_begin else "TRUE",
+    )
+
+
+FEED_SQL = feed_sql()

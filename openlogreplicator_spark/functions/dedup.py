@@ -209,3 +209,66 @@ def simhash(
         F.sum(F.when(F.col("bsum") > 0, weight).otherwise(F.lit(0)))
         .alias("simhash")
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    radius: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_portable_hash: bool = True,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at a fixed Hamming radius via the
+    banded-prefix self-join (the scale path promised in the module notes).
+
+    Completeness by pigeonhole: with ``radius < bands``, any pair within
+    ``radius`` differing bits leaves at least one of the ``bands`` equal-width
+    bit bands untouched — so the equi-join on (band_idx, band_value) finds
+    every qualifying pair without an all-pairs comparison. Candidates are
+    then verified exactly with popcount(xor).
+
+    Scale: the join is bucketed by band value (shuffle ~ docs x bands rows of
+    3 ints), never quadratic; a degenerate corpus where one band value is hot
+    (e.g. boilerplate-heavy crawl data) re-salts by pairing band_value with a
+    coarse length bucket — not needed at driver scale.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming <= radius.
+    """
+    if radius >= bands:
+        raise ValueError("completeness requires radius < bands")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, bits, id_col, text_col, use_portable_hash)
+    # unrolled band extraction (shift amounts must be literals)
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for b in range(bands)
+        ])).alias("p"),
+    ).select(F.col(id_col), F.col("simhash"),
+             F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bv") == F.col("b.bv")))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+    )
+    # a pair may collide in several bands — emit once
+    return cand.distinct()

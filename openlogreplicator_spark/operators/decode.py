@@ -59,6 +59,24 @@ def _normalize_text_jvm(c):
     )
 
 
+def apply_start_position(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Start-position predicate (reference start modes: scn / sequence /
+    timestamp / NOW — OpenLogReplicator.cpp:661-704,
+    OracleAnalyzerOnline.cpp:513-626). Plain column predicates so Catalyst
+    pushes them into the parquet scan (PushedFilters) — the feed files below
+    the start position are never read at scale."""
+    if cfg.start_scn is not None:
+        events = events.where(F.col("scn") >= F.lit(int(cfg.start_scn)))
+    if cfg.start_seq is not None:
+        events = events.where(F.col("seq") >= F.lit(int(cfg.start_seq)))
+    if cfg.start_ts is not None:
+        events = events.where(
+            F.col("ts").isNull()
+            | (F.col("ts") >= F.to_timestamp(F.lit(cfg.start_ts)))
+        )
+    return events
+
+
 def decode_events(
     events: DataFrame,
     cfg: EngineConfig,
@@ -66,7 +84,7 @@ def decode_events(
     use_pandas_normalize: bool = False,
 ) -> DataFrame:
     """Filter + normalize a raw change-event DataFrame (CHANGE_EVENT_SCHEMA)."""
-    out = events.where(F.col("op").isin(*VALID_OPS))
+    out = apply_start_position(events, cfg).where(F.col("op").isin(*VALID_OPS))
 
     # table-dictionary predicate — pushed down to the scan by Catalyst
     # (control ops B/C/R/PR carry the table too in our feed, but be lenient)
@@ -88,6 +106,47 @@ def decode_events(
             F.when(
                 F.col("after").isNotNull(),
                 F.col("after").withField("text", norm(F.col("after.text"))),
+            ),
+        )
+    return out
+
+
+def decode_events_multi(
+    events: DataFrame,
+    tables: dict[str, "object"],
+    cfg: EngineConfig,
+    normalize_text: bool = True,
+) -> DataFrame:
+    """Multi-table decode: dictionary filter over the ROUTED table set with a
+    PER-TABLE merge-key check (reference: many OWNER.NAME masks each with its
+    own key override — OpenLogReplicator.cpp:593-617, Schema.cpp:430-435;
+    round 1 supported exactly one target).
+
+    ``tables``: table name -> LakeTable (its manifest key_cols are the
+    table's merge key). Control ops (B/C/R/PR) pass regardless of table.
+    """
+    out = apply_start_position(events, cfg).where(F.col("op").isin(*VALID_OPS))
+    names = list(tables)
+    out = out.where(
+        (~F.col("op").isin(*DML_OPS)) | F.col("table").isin(*names)
+    )
+    # per-table row-class filter: DML must carry that table's full key
+    key_ok = F.lit(False)
+    for name, t in tables.items():
+        ok = F.lit(True)
+        for k in t.key_cols:
+            ok = ok & F.col(k).isNotNull()
+        key_ok = F.when(F.col("table") == name, ok).otherwise(key_ok)
+    out = out.where((~F.col("op").isin(*DML_OPS)) | key_ok)
+
+    if normalize_text and "after" in out.columns:
+        out = out.withColumn(
+            "after",
+            F.when(
+                F.col("after").isNotNull(),
+                F.col("after").withField(
+                    "text", _normalize_text_jvm(F.col("after.text"))
+                ),
             ),
         )
     return out

@@ -299,6 +299,20 @@ def collect_ddls(decoded: DataFrame) -> list[tuple[int, str]]:
     )
 
 
+def collect_ddls_by_table(decoded: DataFrame) -> dict[str, list[tuple[int, str]]]:
+    """Per-table DDL routing: the feed's DDL rows carry the target table in
+    their ``table`` column, exactly like the reference's DDL events carry
+    obj/owner (OpCode1801.cpp:37-80)."""
+    out: dict[str, list[tuple[int, str]]] = {}
+    rows = (
+        decoded.where(F.col("op") == "DDL")
+        .select("scn", "ddl", "table").collect()
+    )
+    for r in rows:
+        out.setdefault(r["table"], []).append((int(r["scn"]), r["ddl"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def replay_batch(
     spark: SparkSession,
     events: DataFrame,
@@ -318,6 +332,11 @@ def replay_batch(
     block manager (measured 8x slowdown at 32 local threads). Only the small
     per-key ``updates`` relation is persisted (in _merge_slice).
     """
+    # start-position predicate first (reference start modes): pushed to the
+    # scan for BOTH passes, so pre-start feed files are pruned everywhere
+    from openlogreplicator_spark.operators.decode import apply_start_position
+
+    events = apply_start_position(events, cfg)
     # DDL collect runs on the RAW feed (decode leaves DDL rows untouched):
     # the op = 'DDL' predicate pushes down to the source scan, so this extra
     # pass reads almost nothing on a columnar feed
@@ -333,3 +352,56 @@ def replay_batch(
     return apply_committed(
         spark, assembled, ddls, table, cfg, batch_id, extra_summary
     )
+
+
+def replay_batch_multi(
+    spark: SparkSession,
+    events: DataFrame,
+    tables: dict[str, LakeTable],
+    cfg: EngineConfig,
+    batch_id: int = 0,
+    use_pandas_assembly: bool = True,
+) -> dict[str, list[dict]]:
+    """Replay one feed slice into SEVERAL target tables, routed by the
+    event's ``table`` column (reference: many OWNER.NAME masks with
+    per-table key overrides, OpenLogReplicator.cpp:593-617; round 1 could
+    route to exactly one target).
+
+    Transaction assembly runs ONCE across all tables — a transaction is
+    atomic even when it touches several tables (commit verdicts are
+    table-agnostic, OLR's per-XID buffer holds mixed-table vectors). Each
+    target then filters its own rows and merges with its own key columns,
+    DDL slices, and watermark.
+
+    Scale: the per-table `where(table = name)` re-runs the upstream pipeline
+    per target. With many targets, stage the assembled output once to
+    bucket-partitioned parquet keyed by table (the _merge_slice staging
+    pattern) and have each target read its slice — same plan shape, one
+    scan. Two-digit target counts are fine as-is because the feed scan and
+    assembly dominate and AQE reuses the exchange where possible.
+    """
+    from openlogreplicator_spark.operators.decode import (
+        apply_start_position, decode_events_multi,
+    )
+
+    events = apply_start_position(events, cfg)
+    ddls_by_table = collect_ddls_by_table(events)
+    decoded = decode_events_multi(events, tables, cfg)
+
+    key_union: list[str] = []
+    for t in tables.values():
+        for k in t.key_cols:
+            if k not in key_union:
+                key_union.append(k)
+    dml = decoded.where(F.col("op") != "DDL").select(
+        "scn", "seq", "xid", "op", "table", *key_union, "after", "cols_set"
+    )
+    assembled = assemble(dml, cfg, use_pandas=use_pandas_assembly)
+
+    out: dict[str, list[dict]] = {}
+    for name, table in tables.items():
+        part = assembled.where(F.col("table") == name)
+        out[name] = apply_committed(
+            spark, part, ddls_by_table.get(name, []), table, cfg, batch_id
+        )
+    return out

@@ -1,0 +1,5 @@
+from openlogreplicator_spark.sinks.json_stream import (  # noqa: F401
+    change_stream_messages,
+    change_stream_ops,
+    write_change_stream,
+)

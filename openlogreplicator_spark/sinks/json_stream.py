@@ -1,0 +1,118 @@
+"""Canonical JSON change-stream serializer + file sink (O1 / W2).
+
+Reference parity: OpenLogReplicator's principal output is a JSON message
+stream (OutputBufferJson.cpp:488-733 builds per-op entries with
+op c/u/d, schema {owner, table}, before/after column maps; 185-224 the
+message header {scn, tm, xid}; OutputBuffer.cpp:891-953 rotates one message
+per op ("message":0) or one per transaction ("message":1)). The engine's
+primary sink is the lake MERGE, but downstream consumers (Kafka-shaped
+pipelines) want the serialized change stream itself — this module renders it
+with pure JVM expressions (``to_json`` over structs), no Python in the path.
+
+Scale notes:
+  * per-op mode is a map-only projection — no shuffle at all;
+  * per-transaction mode groups on (xid, commit_scn) — same key as assembly,
+    one bounded shuffle; ``collect_list`` per transaction is bounded by
+    transaction size. The reference caps serialized transactions with
+    max-message-mb and force-splits (Transaction.cpp:346-352, M1) — at the
+    lake layer no such cap exists, so giant transactions should prefer
+    per-op mode (documented trade, same as the reference's "message":0).
+  * the Kafka analog is one extra ``writeStream.format("kafka")`` hop with
+    ``value`` = the rendered message; the file sink below is the W2 path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from openlogreplicator_spark.config import EngineConfig
+
+# reference op codes (OutputBufferJson.cpp: 'c' create, 'u' update,
+# 'd' delete — processInsert/processUpdate/processDelete)
+_OP_MAP = {"I": "c", "U": "u", "D": "d"}
+
+
+def _op_code():
+    c = None
+    for k, v in _OP_MAP.items():
+        c = F.when(F.col("op") == k, F.lit(v)) if c is None else c.when(
+            F.col("op") == k, F.lit(v)
+        )
+    return c.otherwise(F.col("op"))
+
+
+def _entry(df: DataFrame, cfg: EngineConfig, owner: str):
+    """One payload entry: {op, schema:{owner,table}, key, before?, after?}.
+    ``table``/``before`` are optional on the input (the replay plan projects
+    them away before the shuffle) — absent columns are rendered as constants
+    /omitted, matching the reference's schema-knob behavior (types.h:85-116)."""
+    table_col = (F.col("table") if "table" in df.columns
+                 else F.lit(cfg.table_filter[0] if cfg.table_filter else "?"))
+    cols = [
+        _op_code().alias("op"),
+        F.struct(F.lit(owner).alias("owner"), table_col.alias("table"))
+        .alias("schema"),
+        F.struct(*[F.col(k) for k in cfg.key_cols]).alias("key"),
+    ]
+    if "before" in df.columns:
+        cols.append(F.col("before").alias("before"))
+    cols.append(F.col("after").alias("after"))
+    cols.append(F.col("cols_set").alias("cols_set"))
+    return F.struct(*cols)
+
+
+def change_stream_ops(
+    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR"
+) -> DataFrame:
+    """Per-op messages ("message":0 mode) — map-only, no shuffle.
+
+    Output: (scn, commit_scn, xid, value) where ``value`` is the JSON text.
+    """
+    entry = _entry(assembled, cfg, owner)
+    msg = F.struct(
+        F.col("commit_scn").alias("scn"),
+        F.col("scn").alias("op_scn"),
+        F.col("xid").alias("xid"),
+        entry.alias("payload"),
+    )
+    return assembled.select(
+        "scn", "commit_scn", "xid",
+        F.to_json(msg, {"ignoreNullFields": "true"}).alias("value"),
+    )
+
+
+def change_stream_messages(
+    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR"
+) -> DataFrame:
+    """Per-transaction messages ("message":1 mode): one JSON document per
+    committed transaction, ops in (scn, seq) insertion order
+    (OutputBuffer.cpp:891-953 outputBufferBegin/Commit rotation).
+
+    Output: (commit_scn, xid, n_ops, value).
+    """
+    entry = _entry(assembled, cfg, owner)
+    per_tx = assembled.groupBy("xid", "commit_scn").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("scn"), F.col("seq"), entry.alias("e")))
+        ).alias("ops")
+    )
+    msg = F.struct(
+        F.col("commit_scn").alias("scn"),
+        F.col("xid").alias("xid"),
+        F.transform(F.col("ops"), lambda o: o["e"]).alias("payload"),
+    )
+    return per_tx.select(
+        "commit_scn", "xid", F.size("ops").alias("n_ops"),
+        F.to_json(msg, {"ignoreNullFields": "true"}).alias("value"),
+    )
+
+
+def write_change_stream(messages: DataFrame, path: str, mode: str = "overwrite",
+                        order: bool = True) -> None:
+    """File sink (W2 — WriterFile.cpp:59-71: write + newline, confirm).
+    One JSON line per message; commit-scn ordered within each output file.
+    For the Kafka analog, feed ``messages.select("value")`` to a kafka sink."""
+    out = messages
+    if order:
+        out = out.sortWithinPartitions("commit_scn")
+    out.select("value").write.mode(mode).text(path)

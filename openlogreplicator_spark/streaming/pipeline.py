@@ -51,10 +51,16 @@ class CDCStreamPipeline:
         cfg: EngineConfig,
         state_dir: str,
         use_pandas_assembly: bool = True,
+        change_stream_dir: str | None = None,
     ):
         self.table = table
         self.cfg = cfg
         self.state_dir = state_dir
+        # optional W1/W2 side-channel: serialize each microbatch's committed
+        # transactions as JSON messages (sinks/json_stream.py). Per-batch
+        # subdir + overwrite => a replayed batch rewrites the same files
+        # (idempotent). A Kafka deployment points this at a kafka sink instead.
+        self.change_stream_dir = change_stream_dir
         self.pending = PendingStore(os.path.join(state_dir, "pending"))
         self.lineage_dir = os.path.join(state_dir, "lineage")
         self.use_pandas_assembly = use_pandas_assembly
@@ -106,6 +112,15 @@ class CDCStreamPipeline:
             summaries = apply_committed(
                 spark, committed, ddls, self.table, self.cfg, batch_id
             )
+            if self.change_stream_dir is not None:
+                from openlogreplicator_spark.sinks import (
+                    change_stream_messages, write_change_stream,
+                )
+
+                write_change_stream(
+                    change_stream_messages(committed, self.cfg),
+                    os.path.join(self.change_stream_dir, f"batch_{batch_id}"),
+                )
         finally:
             committed.unpersist()
 

@@ -76,11 +76,18 @@ def test_topk_dot_matches_cosine_order_for_unit_queries(spark, emb):
         assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
 
 
-def test_ivf_subset_of_brute_force_cells(spark, emb):
-    out = S.topk_ivf(emb, emb.where(F.col("vec_id") < 3), k=3)
-    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
-    for r in out.collect():
-        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+def test_ivf_is_pruned_brute_force(spark, emb):
+    """Fitted IVF (computed cells, n_probe fan-out): every hit carries the
+    exact brute-force quantized dot — pruning changes candidates, not
+    scores. Cell-fit determinism + recall live in test_round2_features."""
+    out = S.topk_ivf(emb, emb.where(F.col("vec_id") < 3), k=3).toPandas()
+    bf = S.topk_dot_quantized(
+        emb, emb.where(F.col("vec_id") < 3), k=10**9
+    ).toPandas()
+    merged = out.merge(bf, on=["query_id", "neighbor_id"],
+                       suffixes=("_ivf", "_bf"))
+    assert len(merged) == len(out) > 0
+    assert (merged["dot_ivf"] == merged["dot_bf"]).all()
 
 
 def test_quality_stats_and_tokens(spark):

@@ -80,7 +80,9 @@ def test_metrics_listener_and_control_shutdown(spark, tmp_path):
         shutil.rmtree(tmp)
 
     table = bootstrap_target(str(tmp_path / "tbl"), CFG)
-    pipe = CDCStreamPipeline(table, CFG, state_dir)
+    stream_out = str(tmp_path / "change_stream")
+    pipe = CDCStreamPipeline(table, CFG, state_dir,
+                             change_stream_dir=stream_out)
     try:
         q = pipe.run_stream(spark, feed_dir, ckpt, available_now=True)
         pipe.run_until_shutdown(q)
@@ -100,5 +102,16 @@ def test_metrics_listener_and_control_shutdown(spark, tmp_path):
             time.sleep(0.25)
         assert "started" in kinds and "progress" in kinds
         assert any(e.get("num_input_rows", 0) > 0 for e in evs)
+        # W2 change-stream file sink rode the stream: JSON lines present
+        import json as _json
+        lines = []
+        for root, _d, names in os.walk(stream_out):
+            for n in names:
+                if n.startswith("part-"):
+                    with open(os.path.join(root, n)) as fh:
+                        lines += [l for l in fh.read().splitlines() if l]
+        assert lines, "streaming change-stream sink wrote no messages"
+        msg = _json.loads(lines[0])
+        assert {"scn", "xid", "payload"} <= set(msg)
     finally:
         pipe.detach_metrics()

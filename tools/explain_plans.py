@@ -95,6 +95,38 @@ def main() -> None:
         explain(topk_dot_quantized(emb, emb.where(F.col("vec_id") < 5))),
     ))
 
+    # ---- round-2 operators ----
+    from openlogreplicator_spark.functions.dedup import simhash_neardup_pairs
+    from openlogreplicator_spark.functions.similarity import topk_ivf
+    from openlogreplicator_spark.operators.decode import apply_start_position
+    from openlogreplicator_spark.sinks import change_stream_messages
+
+    start_cfg = EngineConfig(start_scn=500_000)
+    sections.append((
+        "start-position mode — scn predicate pushed into the parquet scan "
+        "(PushedFilters: GreaterThanOrEqual(scn, ...)); pre-start feed files "
+        "are pruned, not read",
+        explain(apply_start_position(pfeed, start_cfg)),
+    ))
+    sections.append((
+        "fitted IVF top-k — centroid table BROADCAST on both the "
+        "reassignment and probe joins; corpus side never shuffles for "
+        "scoring, only the final per-query rank window",
+        explain(topk_ivf(emb, emb.where(F.col("vec_id") < 5))),
+    ))
+    sections.append((
+        "SimHash Hamming near-dup — banded equi-join on (band, band_value) "
+        "then exact popcount filter; never an all-pairs nested loop",
+        explain(simhash_neardup_pairs(docs)),
+    ))
+    sections.append((
+        "JSON change-stream (per-transaction) — one exchange on (xid, "
+        "commit_scn) with map-side partial collect_list; to_json stays in "
+        "codegen",
+        explain(change_stream_messages(
+            assemble_transactions_sql(decoded, cfg), cfg)),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans of key operators\n\n")
