@@ -62,8 +62,29 @@ def main() -> None:
     cfg = EngineConfig()
     timings: dict[str, float] = {}
 
-    # warmup: JVM + parquet footer caches, outside all timings
+    # warmup: JVM + parquet footer caches + Python/Arrow workers, outside all
+    # timings. The pandas-UDF warmup matters: forking 32 Python workers costs
+    # ~4-6 s once per JVM — a long-running cluster has warm workers, so
+    # charging the fork to the first timed query would measure interpreter
+    # startup, not engine throughput.
     derive_feed(spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from openlogreplicator_spark.operators.decode import _normalize_text_pandas
+
+    (spark.range(10_000, numPartitions=cpus)
+     .select(_normalize_text_pandas(F.col("id").cast("string"))).count())
+    # miniature replay warms the whole-stage-codegen + exchange plans of the
+    # merge path (a streaming deployment pays this once on its first batch,
+    # then every batch runs warm — steady state is what we measure)
+    wtmp = tempfile.mkdtemp(prefix="olr_bench_warm_")
+    wtable = LakeTable.create(
+        wtmp, entrymod._DERIVED_TARGET, ["conv_id", "turn_idx"],
+        num_buckets=cfg.num_buckets,
+    )
+    replay_batch(spark, derive_feed(spark, sf_dir).limit(5_000), wtable, cfg,
+                 batch_id=0)
+    wtable.read(spark).count()
+    shutil.rmtree(wtmp, ignore_errors=True)
 
     def timed(name, fn):
         t0 = time.time()
