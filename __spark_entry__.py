@@ -209,6 +209,37 @@ def _q_multi_table(spark, sf_dir):
     return parts[0].unionByName(parts[1])
 
 
+def _q_before_trim(spark, sf_dir):
+    """D3 before-image trim through the real operator: synthesize before
+    images over the derived feed (text equal iff scn%4==1, role/ts always
+    equal) and emit each U event's post-trim cols_set. The oracle predicts
+    the surviving set per row with the same arithmetic."""
+    from openlogreplicator_spark.operators.decode import before_image_trim
+
+    ev = derive_feed(spark, sf_dir).where(F.col("op") == "U")
+    prev_text = F.when(
+        F.col("scn") % 4 == 1, F.col("after.text")
+    ).otherwise(F.concat(F.lit("v"), (F.col("scn") - 1).cast("string")))
+    ev = ev.withColumn(
+        "before",
+        F.struct(
+            F.col("after.role").alias("role"),
+            prev_text.alias("text"),
+            F.col("after.tool").alias("tool"),
+            F.col("after.ts").alias("ts"),
+            F.col("after.meta").alias("meta"),
+        ),
+    ).withColumn(
+        "before_cols",
+        F.array(F.lit("role"), F.lit("text"), F.lit("tool"), F.lit("ts")),
+    )
+    out = before_image_trim(ev)
+    return out.select(
+        "scn",
+        F.concat_ws(",", F.array_sort("cols_set")).alias("cols_eff"),
+    )
+
+
 def _q_multirow_unnest(spark, sf_dir):
     """D5 multi-row unnest analog: explode word arrays into per-word rows."""
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
@@ -270,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_commit_order": _q_commit_order,
         "cdc_start_scn": _q_start_scn,
         "cdc_multi_table": _q_multi_table,
+        "cdc_before_trim": _q_before_trim,
         "cdc_update_trim": _q_update_trim,
         "cdc_multirow_unnest": _q_multirow_unnest,
         "agg_pricing_summary": _q_pricing_summary,
@@ -433,6 +465,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT xid, scn, op, commit_scn FROM surv
         """,
         "cdc_multi_table": _MULTI_TABLE_SQL,
+        # before-trim prediction: role/ts before==after (always dropped),
+        # text equal iff scn%4==1; trimmed U events carry only text to begin
+        # with, so the surviving set is 'text' or '' either way
+        "cdc_before_trim": FEED_SQL + """
+            SELECT scn,
+                   CASE WHEN scn % 4 = 1 THEN '' ELSE 'text' END AS cols_eff
+            FROM keyed WHERE op = 'U'
+        """,
         "cdc_update_trim": """
             SELECT event_id, user_id, value <> prev AS value_changed
             FROM (
@@ -530,6 +570,16 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return S.topk_cosine(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def _q_dedup_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs at cos >= 0.40, decided with the
+    integer-rational comparison (no floats) so the oracle is bit-exact.
+    At corpus scale this exact verifier runs on sign-LSH candidates
+    (dedup.embedding_neardup_lsh_candidates), not all pairs."""
+    return D.embedding_neardup_pairs(
+        _tbl(spark, sf_dir, "embeddings"), threshold_pct=40
+    )
+
+
 def _q_text_token_count(spark, sf_dir):
     return T.token_count(_tbl(spark, sf_dir, "documents"))
 
@@ -563,6 +613,7 @@ _TRAINING_QUERIES = {
     "dedup_lsh_pairs": _q_dedup_lsh_pairs,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_neardup": _q_dedup_simhash_neardup,
+    "dedup_embed_neardup": _q_dedup_embed_neardup,
     "ann_topk_dot": _q_ann_topk_dot,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_cosine_topk": _q_ann_cosine_topk,
@@ -779,6 +830,32 @@ _TRAINING_ORACLES = {
               ORDER BY dot DESC, neighbor_id ASC) AS rnk
           FROM scored
         ) WHERE rnk <= 5
+    """,
+    # integer-rational cosine threshold: cos >= t <=> dot>0 and
+    # 100^2 dot^2 >= (100t)^2 |a|^2 |b|^2 over floor(x*1000) ints — exact
+    "dedup_embed_neardup": """
+        WITH v AS (
+          SELECT vec_id,
+            list_transform(generate_series(1,64),
+              i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT))
+              AS qv
+          FROM embeddings
+        ), n AS (
+          SELECT vec_id, qv,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1,64), i -> qv[i]*qv[i])),
+              (a,b)->a+b) AS n2
+          FROM v
+        ), p AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1,64), i -> a.qv[i]*b.qv[i])),
+              (x,y)->x+y) AS BIGINT) AS dot,
+            a.n2 AS n2a, b.n2 AS n2b
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT doc_a, doc_b, dot FROM p
+        WHERE dot > 0 AND 10000*dot*dot >= 1600*n2a*n2b
     """,
     # bit-exact double cosine: Spark's F.aggregate and DuckDB's list_reduce
     # are both strict left folds in array-index order, and float32 -> double

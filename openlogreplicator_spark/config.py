@@ -24,9 +24,21 @@ class EngineConfig:
     # (Schema.cpp:430-435, OracleAnalyzerOnline.cpp:213-214). None = all tables.
     table_filter: tuple[str, ...] | None = ("transcripts",)
 
+    # schemaless mode (types.h:139, OutputBuffer.cpp:1015-1019): no table
+    # dictionary at all — decode drops neither unknown tables nor keyless DML;
+    # events pass through to the change-stream serializer as-is. The lake
+    # MERGE path still needs keys, so schemaless pairs with the JSON sink.
+    schemaless: bool = False
+
     # require a begin event before commit to flush, like OLR which skips
     # transactions whose begin was never seen (RedoLog.cpp:733-766).
     require_begin: bool = True
+
+    # D3 before-image trim (COLUMN_FORMAT_CHANGED analog): drop columns from
+    # an UPDATE's cols_set whose before image equals the after image
+    # (OutputBuffer.cpp:1893-1927). Off by default — correct only when the
+    # feed's before images reflect true prior state (real redo feeds do).
+    trim_unchanged: bool = False
 
     # number of hash buckets of the target lake table (MERGE co-location unit).
     num_buckets: int = 16

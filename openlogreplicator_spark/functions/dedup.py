@@ -272,3 +272,108 @@ def simhash_neardup_pairs(
     )
     # a pair may collide in several bands — emit once
     return cand.distinct()
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold_pct: int = 80,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (doc_a < doc_b) at
+    cos >= threshold_pct/100, decided in INTEGER arithmetic so the SQL
+    oracle matches bit-for-bit:
+
+        cos(a,b) >= t  <=>  dot > 0  AND  100^2*dot^2 >= (100t)^2*|a|^2*|b|^2
+
+    over floor(x*1000)-quantized vectors — no sqrt, no floats. Overflow-safe
+    for |x| <~ 1.2 at 64 dims (|dot| <= 64*1200^2 ~ 9.2e7, dot^2*10^4 <
+    2^63); larger-magnitude embeddings should quantize coarser.
+
+    Scale: this is the EXACT all-pairs verifier — quadratic, like
+    ngram_jaccard_pairs. At corpus scale compose with
+    ``embedding_neardup_lsh_candidates`` (sign-LSH banding) and verify only
+    the candidates; this function then runs on the candidate join, not the
+    full cross product.
+    """
+    from openlogreplicator_spark.functions.similarity import (
+        _dot_int, _quantize,
+    )
+
+    t2 = threshold_pct * threshold_pct
+    v = emb.select(
+        F.col(id_col).alias("vid"), _quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("n2", _dot_int(F.col("qv"), F.col("qv")))
+    a, b = v.alias("a"), v.alias("b")
+    dot = _dot_int(F.col("a.qv"), F.col("b.qv"))
+    pairs = (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("doc_a"),
+            F.col("b.vid").alias("doc_b"),
+            dot.alias("dot"),
+            F.col("a.n2").alias("n2a"),
+            F.col("b.n2").alias("n2b"),
+        )
+        .where(
+            (F.col("dot") > 0)
+            & (F.lit(10000) * F.col("dot") * F.col("dot")
+               >= F.lit(t2) * F.col("n2a") * F.col("n2b"))
+        )
+    )
+    return pairs.select("doc_a", "doc_b", "dot")
+
+
+def embedding_neardup_lsh_candidates(
+    emb: DataFrame,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH candidate pairs for embedding near-dup — the scale path.
+
+    Deterministic pseudo-random hyperplanes (sign pattern from integer
+    arithmetic over (plane, dim), no RNG): signature bit h = sign of the
+    projection onto plane h. Signatures band into n_planes/band_bits bands;
+    docs sharing any band value become candidates (cosine-similar vectors
+    agree on most sign bits, so near-dups collide with high probability).
+    Output: (doc_a, doc_b) candidates for exact verification.
+    """
+    from openlogreplicator_spark.functions.similarity import (
+        _dot_int, _quantize,
+    )
+
+    if n_planes % band_bits:
+        raise ValueError("band_bits must divide n_planes")
+    v = emb.select(
+        F.col(id_col).alias("vid"), _quantize(F.col(vec_col)).alias("qv")
+    )
+    dims = 64  # driver corpus; parameterize via vec length at fit time
+    # plane h, dim d sign: deterministic +-1 pattern
+    planes = [
+        F.array(*[
+            F.lit(1 if ((h * 31 + d * 17) % 7) % 2 == 0 else -1).cast("long")
+            for d in range(dims)
+        ])
+        for h in range(n_planes)
+    ]
+    bits = [ (_dot_int(F.col("qv"), p) >= 0).cast("long") for p in planes ]
+    n_bands = n_planes // band_bits
+    band_vals = []
+    for bnd in range(n_bands):
+        val = F.lit(0).cast("long")
+        for i in range(band_bits):
+            val = val * 2 + bits[bnd * band_bits + i]
+        band_vals.append(F.struct(F.lit(bnd).alias("band"), val.alias("bv")))
+    banded = v.select(
+        "vid", F.explode(F.array(*band_vals)).alias("p")
+    ).select("vid", F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bv") == F.col("b.bv")))
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("doc_a"), F.col("b.vid").alias("doc_b"))
+        .distinct()
+    )

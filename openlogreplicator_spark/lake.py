@@ -135,7 +135,10 @@ class LakeTable:
         out = []
         v = self.current_version()
         for i in range(v + 1):
-            m = self.manifest(i)
+            try:
+                m = self.manifest(i)
+            except FileNotFoundError:
+                continue  # expired by expire_snapshots
             out.append({"version": i, "summary": m["summary"],
                         "last_batch_id": m["last_batch_id"]})
         return out
@@ -561,6 +564,50 @@ class LakeTable:
         self._commit(m)
 
     # -------------------------------------------------------------- utilities
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Iceberg ``expire_snapshots`` analog (table maintenance): delete
+        data files referenced ONLY by manifests older than the retained
+        window, plus the expired manifests themselves. Copy-on-write MERGE
+        leaves every superseded version's files on disk — without expiry a
+        long-running stream grows unbounded. Time travel shrinks to the
+        ``keep_last`` most recent snapshots; the current snapshot and its
+        files are always preserved.
+
+        Driver-side file walk — the same shape as Iceberg's own
+        expire_snapshots action, which also enumerates manifests centrally;
+        at object-store scale the deletes fan out to a bulk-delete API.
+        """
+        cur = self.current_version()
+        cutoff = max(0, cur - keep_last + 1)
+        keep_paths: set[str] = set()
+        for v in range(cutoff, cur + 1):
+            try:
+                for f in self.manifest(v)["files"]:
+                    keep_paths.add(f["path"])
+            except FileNotFoundError:
+                continue
+        removed = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, names in os.walk(data_root, topdown=False):
+            for nm in names:
+                full = os.path.join(root, nm)
+                rel = os.path.relpath(full, self.path)
+                if nm.endswith(".parquet") and rel not in keep_paths:
+                    os.remove(full)
+                    removed += 1
+            if not os.listdir(root) and root != data_root:
+                os.rmdir(root)
+        expired = 0
+        for v in range(cutoff):
+            p = os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json")
+            if os.path.exists(p):
+                os.remove(p)
+                expired += 1
+            self._manifest_cache.pop(v, None)
+        return {"operation": "expire-snapshots",
+                "expired_manifests": expired, "data_files_removed": removed,
+                "retained_from": cutoff, "current": cur}
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -77,6 +77,59 @@ def apply_start_position(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     return events
 
 
+def before_image_trim(events: DataFrame) -> DataFrame:
+    """D3 before-image consumption: drop unchanged columns from an UPDATE's
+    ``cols_set`` by comparing the before and after images per column — the
+    reference's COLUMN_FORMAT_CHANGED trim (OutputBuffer.cpp:1893-1927
+    compares before/after bytes and skips equal non-PK columns).
+
+    Rules (mirroring the reference):
+      * only op='U' rows with a before image are trimmed;
+      * a column is dropped iff BOTH images carry it and the values are
+        null-safe EQUAL — if the before value is absent/unverifiable the
+        column is kept (the reference keeps columns lacking a before image);
+      * merge keys ride outside cols_set, so they are never trimmed (K1).
+
+    Correctness precondition: the before image must reflect the row's true
+    prior state (a real redo/WAL feed guarantees this — supplemental
+    logging). Then dropping an equal-valued write cannot change the final
+    table state, it only removes dead bytes from every downstream shuffle
+    and MERGE.
+    """
+    if "before" not in events.columns:
+        return events
+    fields = [f.name for f in events.schema["after"].dataType.fields]
+
+    # a column is verifiable iff the before image explicitly carries it
+    # (before_cols — the supplemental-log column list); a null value in a
+    # carried column is a real NULL and may legitimately equal the after side
+    have_bc = "before_cols" in events.columns
+    bc = (F.coalesce(F.col("before_cols"), F.array().cast("array<string>"))
+          if have_bc else None)
+
+    def keep(c):
+        e = F.lit(True)
+        for name in fields:
+            b = F.col("before").getField(name)
+            a = F.col("after").getField(name)
+            verifiable = (F.array_contains(bc, name) if have_bc
+                          else b.isNotNull())
+            e = F.when(c == F.lit(name), ~(verifiable & b.eqNullSafe(a))
+                       ).otherwise(e)
+        return e
+
+    trimmable = (
+        (F.col("op") == "U")
+        & F.col("before").isNotNull()
+        & F.col("after").isNotNull()
+    )
+    return events.withColumn(
+        "cols_set",
+        F.when(trimmable, F.filter(F.col("cols_set"), keep))
+        .otherwise(F.col("cols_set")),
+    )
+
+
 def decode_events(
     events: DataFrame,
     cfg: EngineConfig,
@@ -86,18 +139,23 @@ def decode_events(
     """Filter + normalize a raw change-event DataFrame (CHANGE_EVENT_SCHEMA)."""
     out = apply_start_position(events, cfg).where(F.col("op").isin(*VALID_OPS))
 
-    # table-dictionary predicate — pushed down to the scan by Catalyst
-    # (control ops B/C/R/PR carry the table too in our feed, but be lenient)
-    if cfg.table_filter is not None:
-        out = out.where(
-            (~F.col("op").isin(*DML_OPS)) | F.col("table").isin(*cfg.table_filter)
-        )
+    # schemaless mode: no dictionary, no key requirement — every event
+    # passes decode untouched (types.h:139 analog); consumers are the
+    # change-stream serializer, not the keyed MERGE
+    if not cfg.schemaless:
+        # table-dictionary predicate — pushed down to the scan by Catalyst
+        # (control ops B/C/R/PR carry the table too in our feed, be lenient)
+        if cfg.table_filter is not None:
+            out = out.where(
+                (~F.col("op").isin(*DML_OPS))
+                | F.col("table").isin(*cfg.table_filter)
+            )
 
-    # row-class filter: DML must carry a full merge key
-    key_ok = F.lit(True)
-    for k in cfg.key_cols:
-        key_ok = key_ok & F.col(k).isNotNull()
-    out = out.where((~F.col("op").isin(*DML_OPS)) | key_ok)
+        # row-class filter: DML must carry a full merge key
+        key_ok = F.lit(True)
+        for k in cfg.key_cols:
+            key_ok = key_ok & F.col(k).isNotNull()
+        out = out.where((~F.col("op").isin(*DML_OPS)) | key_ok)
 
     if normalize_text and "after" in out.columns:
         norm = _normalize_text_pandas if use_pandas_normalize else _normalize_text_jvm
@@ -108,6 +166,8 @@ def decode_events(
                 F.col("after").withField("text", norm(F.col("after.text"))),
             ),
         )
+    if cfg.trim_unchanged:
+        out = before_image_trim(out)
     return out
 
 

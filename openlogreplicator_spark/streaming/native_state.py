@@ -1,0 +1,150 @@
+"""Streaming-native transaction assembly: per-xid open-transaction state in
+Spark's STATE STORE via ``applyInPandasWithState``.
+
+This is the second implementation of the G1 stateful core (OLR's in-memory
+transaction map, OracleAnalyzer.h:111-112 / RedoLog.cpp:768-902):
+
+  * the default engine path (streaming/pipeline.py) re-delivers raw open
+    rows from a deterministic PendingStore into the next microbatch and
+    reuses the vectorized batch assembler — state is recomputed, the store
+    is plain parquet, and crash recovery is trivial to reason about;
+  * THIS path keeps the open-transaction buffer keyed by xid inside the
+    streaming state store, checkpointed atomically with the source offsets —
+    Spark-native exactly-once state, no re-delivery, no recompute. It is
+    the architecture the reference itself uses (a live per-XID buffer).
+
+``transformWithStateInPandas`` (Spark 4's richer API) requires the python
+``protobuf`` package for its control channel, which this environment lacks —
+``applyInPandasWithState`` has no such dependency and covers the semantics.
+
+Semantics per xid (mirrors operators/assembly.py exactly):
+  * B marks begin; R discards the buffer; PR retracts the latest unpopped
+    DML (TransactionBuffer.cpp:159-183) — PRs are BUFFERED so a PR arriving
+    a batch after its DML still pops it;
+  * C with begin seen (or require_begin=False) emits the surviving DML
+    annotated with commit_scn — survivors computed with the same
+    prefix-sum + suffix-min trick, vectorized numpy over the buffered
+    transaction (no per-row Python);
+  * unterminated buffers persist in the state store across batches.
+
+Scale notes: state is per-transaction and bounded by open-transaction size
+(OLR's memory governor bounds the same buffer); the shuffle key is xid, so
+skew equals transaction size, not conversation heat. The wide payload
+crosses the state boundary as one JSON string per event — state stores hold
+flat rows, and the payload re-expands JVM-side via from_json after emission.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from openlogreplicator_spark.config import EngineConfig
+
+# payload carried through state as one JSON string per event
+_PAYLOAD_SCHEMA = (
+    "struct<after:struct<role:string,text:string,tool:string,"
+    "ts:timestamp,meta:string>,cols_set:array<string>>"
+)
+
+OUT_SCHEMA = (
+    "xid string, scn long, seq long, op string, conv_id string, "
+    "turn_idx long, payload string, commit_scn long"
+)
+_STATE_SCHEMA = "rows array<string>, has_begin boolean"
+
+DML = ("I", "U", "D")
+
+
+def _emit(rows: list[list], commit_scn: int, xid: str) -> pd.DataFrame:
+    """Vectorized survivor selection over one terminated transaction's
+    buffer (ordered rows: [scn, seq, op, conv, turn, payload])."""
+    op = np.array([r[2] for r in rows])
+    is_dml = np.isin(op, DML)
+    delta = np.where(op == "PR", -1, np.where(is_dml, 1, 0))
+    running = np.cumsum(delta)
+    suffix_min = np.minimum.accumulate(running[::-1])[::-1]
+    keep = is_dml & (suffix_min >= running)
+    kept = [r for r, k in zip(rows, keep) if k]
+    return pd.DataFrame({
+        "xid": [xid] * len(kept),
+        "scn": pd.array([r[0] for r in kept], dtype="int64"),
+        "seq": pd.array([r[1] for r in kept], dtype="int64"),
+        "op": [r[2] for r in kept],
+        "conv_id": [r[3] for r in kept],
+        "turn_idx": pd.array([r[4] for r in kept], dtype="Int64"),
+        "payload": [r[5] for r in kept],
+        "commit_scn": pd.array([commit_scn] * len(kept), dtype="int64"),
+    })
+
+
+def make_assembler(cfg: EngineConfig):
+    require_begin = cfg.require_begin
+
+    def assemble(key, pdfs, state: GroupState):
+        xid = key[0]
+        if state.exists:
+            st_rows, has_begin = state.get
+            buf = [json.loads(r) for r in st_rows]
+        else:
+            buf, has_begin = [], False
+
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            new = pd.concat(parts, ignore_index=True)
+            new = new.sort_values(["scn", "seq"], kind="mergesort")
+            has_begin = has_begin or bool((new["op"] == "B").any())
+            terminator = None
+            for r in new.itertuples(index=False):
+                if r.op in ("C", "R"):
+                    terminator = (r.op, int(r.scn))
+                elif r.op in DML or r.op == "PR":
+                    buf.append([
+                        int(r.scn), int(r.seq), r.op, r.conv_id,
+                        None if pd.isna(r.turn_idx) else int(r.turn_idx),
+                        r.payload,
+                    ])
+            if terminator is not None:
+                state.remove()
+                kind, cscn = terminator
+                if kind == "C" and (has_begin or not require_begin) and buf:
+                    yield _emit(sorted(buf), cscn, xid)
+                return
+
+        state.update(([json.dumps(r) for r in sorted(buf)], has_begin))
+        yield pd.DataFrame(columns=[
+            "xid", "scn", "seq", "op", "conv_id", "turn_idx", "payload",
+            "commit_scn",
+        ])
+
+    return assemble
+
+
+def streaming_assembly(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Stateful streaming assembly: CHANGE_EVENT stream -> committed
+    surviving DML stream annotated with commit_scn, with open transactions
+    held in the Spark state store across microbatches.
+
+    Returns rows with the `after`/`cols_set` payload re-expanded JVM-side.
+    """
+    slim = events.select(
+        "xid", "scn", "seq", "op", "conv_id", "turn_idx",
+        F.to_json(F.struct("after", "cols_set")).alias("payload"),
+    )
+    out = slim.groupBy("xid").applyInPandasWithState(
+        make_assembler(cfg),
+        OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    parsed = out.withColumn("p", F.from_json("payload", _PAYLOAD_SCHEMA))
+    return parsed.select(
+        "xid", "scn", "seq", "op", "conv_id", "turn_idx", "commit_scn",
+        F.col("p.after").alias("after"), F.col("p.cols_set").alias("cols_set"),
+    )

@@ -198,6 +198,89 @@ def test_simhash_neardup_equals_allpairs(spark):
     assert len(want) > 0, "fixture must contain near-dups"
 
 
+# ------------------------------------------------------- schemaless mode
+
+def test_schemaless_passes_unknown_tables_and_keyless_dml(spark):
+    """Schemaless mode (reference types.h:139): no dictionary — unknown
+    tables and keyless DML pass decode and serialize to the change stream;
+    with the dictionary on they are dropped."""
+    from openlogreplicator_spark.sinks import change_stream_ops
+
+    events = generate_change_events(spark, n_txs=30, n_convs=6, seed=71)
+    # mutate: half the DML to an unknown table, a few keyless rows
+    mutated = events.withColumn(
+        "table",
+        F.when(F.col("scn") % 2 == 0, F.lit("sys_audit"))
+        .otherwise(F.col("table")),
+    ).withColumn(
+        "conv_id",
+        F.when(F.col("scn") % 13 == 0, F.lit(None)).otherwise(F.col("conv_id")),
+    )
+    strict = decode_events(mutated, EngineConfig())
+    loose = decode_events(mutated, EngineConfig(schemaless=True))
+    assert loose.count() > strict.count()
+    dml = loose.where(F.col("op").isin("I", "U", "D"))
+    assert dml.where(F.col("table") == "sys_audit").count() > 0
+    # serializes without a dictionary: assembly annotation not needed for
+    # the per-op raw stream — fake commit_scn as scn for render
+    raw = dml.withColumn("commit_scn", F.col("scn"))
+    msgs = change_stream_ops(raw, EngineConfig(schemaless=True))
+    assert msgs.count() == dml.count()
+
+
+# ------------------------------------------------------ snapshot expiry
+
+def test_expire_snapshots_keeps_current_state(spark, tmp_path):
+    """expire_snapshots removes superseded data files + manifests but the
+    current snapshot (and reads / further merges) are untouched."""
+    cfg = EngineConfig(num_buckets=4)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    for i in range(4):
+        ev = generate_change_events(spark, n_txs=40, n_convs=8, seed=100 + i)
+        # shift each batch's scn range past the watermark so every batch
+        # commits a new snapshot (seeds alone reuse the same scn range)
+        ev = ev.withColumn("scn", F.col("scn") + F.lit(i * 10**9))
+        replay_batch(spark, ev, table, cfg, batch_id=i + 1)
+    before = table.read(spark).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    versions_dirs = len(os.listdir(os.path.join(str(tmp_path / "t"), "data")))
+    assert versions_dirs >= 3
+
+    out = table.expire_snapshots(keep_last=2)
+    assert out["data_files_removed"] > 0 and out["expired_manifests"] > 0
+    after = table.read(spark).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # snapshots() survives the trim and a further merge still lands
+    assert table.snapshots()
+    ev = generate_change_events(spark, n_txs=30, n_convs=8, seed=999)
+    replay_batch(spark, ev, table, cfg, batch_id=99)
+    assert table.read(spark).count() > 0
+
+
+# ------------------------------------------------- embedding near-dup LSH
+
+def test_embedding_neardup_lsh_recall(spark):
+    """Sign-LSH candidates must recover most true near-dup pairs on
+    clustered vectors (the scale path feeding the exact verifier)."""
+    from openlogreplicator_spark.functions.dedup import (
+        embedding_neardup_lsh_candidates, embedding_neardup_pairs,
+    )
+
+    emb = _clustered_embeddings(spark, n=120, dims=64, n_clusters=4)
+    exact = embedding_neardup_pairs(emb, threshold_pct=80).toPandas()
+    assert len(exact) > 0, "clustered fixture must contain near-dups"
+    cand = embedding_neardup_lsh_candidates(emb).toPandas()
+    cand_set = set(map(tuple, cand[["doc_a", "doc_b"]].values))
+    hit = sum(1 for t in map(tuple, exact[["doc_a", "doc_b"]].values)
+              if t in cand_set)
+    recall = hit / len(exact)
+    assert recall >= 0.9, f"LSH candidate recall = {recall}"
+    # candidates are a pruning, not the quadratic cross product
+    n = emb.count()
+    assert len(cand) < n * (n - 1) / 2
+
+
 # ------------------------------------------------------------- JSON sink
 
 def _assembled_with_table(spark, n_txs=5):
