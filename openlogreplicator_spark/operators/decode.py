@@ -144,12 +144,17 @@ def decode_events(
     # change-stream serializer, not the keyed MERGE
     if not cfg.schemaless:
         # table-dictionary predicate — pushed down to the scan by Catalyst
-        # (control ops B/C/R/PR carry the table too in our feed, be lenient)
+        # (control ops B/C/R/PR carry the table too in our feed, be lenient).
+        # Entries containing '%' are SQL LIKE masks, matching the reference's
+        # mask selection (OracleAnalyzerOnline.cpp:213-214:
+        # U.NAME||'.'||O.NAME LIKE UPPER(:mask)); others match exactly.
         if cfg.table_filter is not None:
-            out = out.where(
-                (~F.col("op").isin(*DML_OPS))
-                | F.col("table").isin(*cfg.table_filter)
-            )
+            exact = [t for t in cfg.table_filter if "%" not in t]
+            masks = [t for t in cfg.table_filter if "%" in t]
+            pred = F.col("table").isin(*exact) if exact else F.lit(False)
+            for m in masks:
+                pred = pred | F.col("table").like(m)
+            out = out.where((~F.col("op").isin(*DML_OPS)) | pred)
 
         # row-class filter: DML must carry a full merge key
         key_ok = F.lit(True)

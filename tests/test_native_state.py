@@ -77,6 +77,60 @@ def test_streaming_assembly_equals_batch_assembler(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_streaming_assembly_kill_and_resume(spark, tmp_path):
+    """Open-transaction state in the state store must survive a query
+    restart: stop after the first files, resume from the same checkpoint,
+    and end at exactly the batch assembler's output (no dupes, no loss)."""
+    events = generate_change_events(spark, n_txs=120, n_convs=15, seed=91,
+                                    p_partial_rollback=0.12)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(spark, events, feed_dir, n_files=6)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: hide the tail, run to exhaustion, stop
+    hidden = sorted(glob.glob(os.path.join(feed_dir, "seq*.parquet")))[-3:]
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for h in hidden:
+        os.rename(h, os.path.join(stash, os.path.basename(h)))
+
+    def run_once():
+        src = (
+            spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = (
+            streaming_assembly(src, CFG)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # phase 2: tail arrives, resume from the same checkpoint + state store
+    for h in hidden:
+        os.rename(os.path.join(stash, os.path.basename(h)), h)
+    run_once()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .select("xid", "scn", "seq", "op", "commit_scn")
+        .toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    )
+    want = (
+        assemble_transactions_sql(events, CFG)
+        .select("xid", "scn", "seq", "op", "commit_scn")
+        .toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_streaming_assembly_end_to_end_merge(spark, tmp_path):
     """native-state assembly -> foreachBatch MERGE == sequential oracle."""
     events = generate_change_events(spark, n_txs=120, n_convs=15, seed=89)

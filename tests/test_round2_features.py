@@ -198,6 +198,32 @@ def test_simhash_neardup_equals_allpairs(spark):
     assert len(want) > 0, "fixture must contain near-dups"
 
 
+# -------------------------------------------------------- dictionary masks
+
+def test_table_filter_like_masks(spark):
+    """Reference-style mask selection: '%'-entries behave as SQL LIKE
+    (OracleAnalyzerOnline.cpp:213-214), exact entries match exactly."""
+    events = generate_change_events(spark, n_txs=40, n_convs=8, seed=73)
+    routed = events.withColumn(
+        "table",
+        F.when(F.col("scn") % 3 == 0, F.lit("audit_log"))
+        .when(F.col("scn") % 3 == 1, F.lit("audit_trail"))
+        .otherwise(F.col("table")),
+    )
+    masked = decode_events(routed, EngineConfig(table_filter=("audit_%",)))
+    dml_tables = {
+        r["table"] for r in
+        masked.where(F.col("op").isin("I", "U", "D")).select("table")
+        .distinct().collect()
+    }
+    assert dml_tables <= {"audit_log", "audit_trail"} and dml_tables
+    both = decode_events(
+        routed, EngineConfig(table_filter=("transcripts", "audit_%"))
+    )
+    n_both = both.where(F.col("op").isin("I", "U", "D")).count()
+    assert n_both > masked.where(F.col("op").isin("I", "U", "D")).count()
+
+
 # ------------------------------------------------------- schemaless mode
 
 def test_schemaless_passes_unknown_tables_and_keyless_dml(spark):
