@@ -53,6 +53,8 @@ def main(argv: list[str]) -> None:
     p.add_argument("--start-ts")
     # W1/W2 analog: serialize committed transactions as JSON messages
     p.add_argument("--change-stream-dir")
+    # table maintenance: expire superseded CoW snapshots after the run
+    p.add_argument("--expire-keep", type=int)
     args = p.parse_args(argv)
 
     from openlogreplicator_spark.config import EngineConfig
@@ -86,6 +88,9 @@ def main(argv: list[str]) -> None:
             print("RETRY", json.dumps(s))
         print("ROWS", table.read(spark).count())
         print("SNAPSHOTS", json.dumps(table.snapshots()[-3:]))
+        if args.expire_keep:
+            print("EXPIRE", json.dumps(
+                table.expire_snapshots(keep_last=args.expire_keep)))
     else:
         from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
 

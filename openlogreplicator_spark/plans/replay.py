@@ -373,13 +373,16 @@ def replay_batch_multi(
     target then filters its own rows and merges with its own key columns,
     DDL slices, and watermark.
 
-    Scale: the per-table `where(table = name)` re-runs the upstream pipeline
-    per target. With many targets, stage the assembled output once to
-    bucket-partitioned parquet keyed by table (the _merge_slice staging
-    pattern) and have each target read its slice — same plan shape, one
-    scan. Two-digit target counts are fine as-is because the feed scan and
-    assembly dominate and AQE reuses the exchange where possible.
+    Scale: with <= 2 targets the per-table `where(table = name)` re-runs the
+    upstream pipeline per target (scan + assembly dominate; AQE reuses the
+    exchange where possible). With 3+ targets the assembled output is STAGED
+    ONCE to table-partitioned parquet and each target reads only its own
+    partition (partition pruning) — T column-pruned reads instead of T full
+    recomputes, the same materialization pattern as _merge_slice staging.
     """
+    import shutil as _sh
+    import tempfile as _tmp
+
     from openlogreplicator_spark.operators.decode import (
         apply_start_position, decode_events_multi,
     )
@@ -398,10 +401,22 @@ def replay_batch_multi(
     )
     assembled = assemble(dml, cfg, use_pandas=use_pandas_assembly)
 
-    out: dict[str, list[dict]] = {}
-    for name, table in tables.items():
-        part = assembled.where(F.col("table") == name)
-        out[name] = apply_committed(
-            spark, part, ddls_by_table.get(name, []), table, cfg, batch_id
+    stage_dir = None
+    if len(tables) >= 3:
+        stage_dir = _tmp.mkdtemp(prefix="olr_multi_stage_")
+        assembled.write.mode("overwrite").partitionBy("table").parquet(
+            stage_dir
         )
+        assembled = spark.read.parquet(stage_dir)
+
+    out: dict[str, list[dict]] = {}
+    try:
+        for name, table in tables.items():
+            part = assembled.where(F.col("table") == name)
+            out[name] = apply_committed(
+                spark, part, ddls_by_table.get(name, []), table, cfg, batch_id
+            )
+    finally:
+        if stage_dir is not None:
+            _sh.rmtree(stage_dir, ignore_errors=True)
     return out

@@ -47,13 +47,22 @@ LINEAGE_COLS = [
 class CDCStreamPipeline:
     def __init__(
         self,
-        table: LakeTable,
+        table: "LakeTable | dict[str, LakeTable]",
         cfg: EngineConfig,
         state_dir: str,
         use_pandas_assembly: bool = True,
         change_stream_dir: str | None = None,
     ):
-        self.table = table
+        # single-table (reference: one mask) or multi-table routed streaming
+        # (reference: many OWNER.NAME masks with per-table keys,
+        # OpenLogReplicator.cpp:593-617). A dict routes each event's `table`
+        # column to its own LakeTable with independent watermarks/DDL.
+        if isinstance(table, dict):
+            self.tables: dict[str, LakeTable] | None = table
+            self.table = next(iter(table.values()))
+        else:
+            self.tables = None
+            self.table = table
         self.cfg = cfg
         self.state_dir = state_dir
         # optional W1/W2 side-channel: serialize each microbatch's committed
@@ -76,8 +85,20 @@ class CDCStreamPipeline:
         """foreachBatch body. Deterministic + idempotent per (batch_id, input)."""
         t0 = time.time()
         spark = batch_df.sparkSession
-        decoded = decode_events(batch_df, self.cfg)
-        ddls = collect_ddls(decoded)
+        if self.tables is not None:
+            from openlogreplicator_spark.operators.decode import (
+                decode_events_multi,
+            )
+            from openlogreplicator_spark.plans.replay import (
+                collect_ddls_by_table,
+            )
+
+            decoded = decode_events_multi(batch_df, self.tables, self.cfg)
+            ddls_by_table = collect_ddls_by_table(decoded)
+            ddls = []  # single-table slicing not used on the multi path
+        else:
+            decoded = decode_events(batch_df, self.cfg)
+            ddls = collect_ddls(decoded)
         # control-table events drive the M4 shutdown probe only — they must
         # NOT reach assembly (a '_control' begin would sit in the pending
         # open-transaction store forever, re-delivered into every batch)
@@ -109,9 +130,18 @@ class CDCStreamPipeline:
         )
         committed = committed.persist()
         try:
-            summaries = apply_committed(
-                spark, committed, ddls, self.table, self.cfg, batch_id
-            )
+            if self.tables is not None:
+                summaries = []
+                for name, tbl in self.tables.items():
+                    part = committed.where(F.col("table") == name)
+                    summaries += apply_committed(
+                        spark, part, ddls_by_table.get(name, []), tbl,
+                        self.cfg, batch_id,
+                    )
+            else:
+                summaries = apply_committed(
+                    spark, committed, ddls, self.table, self.cfg, batch_id
+                )
             if self.change_stream_dir is not None:
                 from openlogreplicator_spark.sinks import (
                     change_stream_messages, write_change_stream,

@@ -107,6 +107,84 @@ def test_multi_table_replay_matches_per_table_oracle(spark, tmp_path):
         )
 
 
+def test_multi_table_staged_three_targets(spark, tmp_path):
+    """3+ targets take the staged path (assemble once, table-partitioned
+    staging, partition-pruned per-table reads) — same per-table oracles."""
+    cfg = EngineConfig(num_buckets=4, table_filter=None)
+    events = generate_change_events(spark, n_txs=180, n_convs=20, seed=67)
+    is_dml = F.col("op").isin("I", "U", "D")
+    routed = events.withColumn(
+        "table",
+        F.when(~is_dml, F.lit("t0")).otherwise(
+            F.concat(F.lit("t"), (F.col("scn") % 3).cast("string"))
+        ),
+    )
+    tables = {
+        f"t{i}": bootstrap_target(str(tmp_path / f"t{i}"), cfg)
+        for i in range(3)
+    }
+    out = replay_batch_multi(spark, routed, tables, cfg, batch_id=1)
+    assert set(out) == set(tables)
+    pdf = routed.toPandas()
+    for name, table in tables.items():
+        mask = (~pdf["op"].isin(["I", "U", "D"])) | (pdf["table"] == name)
+        oracle = sequential_oracle(pdf[mask]).drop(columns=["meta"])
+        got = (
+            table.read(spark).toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            .astype({"turn_idx": "int64"})
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(
+            got[oracle.columns.tolist()],
+            oracle.astype({"turn_idx": "int64"}).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+def test_multi_table_streaming_matches_per_table_oracle(spark, tmp_path):
+    """Multi-table routing through the STREAMING pipeline: microbatched
+    two-table feed, per-table final states equal their routed oracles."""
+    from openlogreplicator_spark.feed import pandas_to_events_df
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4, table_filter=None)
+    events = generate_change_events(spark, n_txs=150, n_convs=20, seed=59)
+    is_dml = F.col("op").isin("I", "U", "D")
+    routed = events.withColumn(
+        "table",
+        F.when(~is_dml, F.lit("transcripts")).otherwise(
+            F.when(F.col("scn") % 2 == 0, F.lit("transcripts"))
+            .otherwise(F.lit("notes"))
+        ),
+    )
+    tables = {
+        "transcripts": bootstrap_target(str(tmp_path / "t1"), cfg),
+        "notes": bootstrap_target(str(tmp_path / "t2"), cfg),
+    }
+    pipe = CDCStreamPipeline(tables, cfg, str(tmp_path / "state"))
+    pdf = routed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    n = len(pdf)
+    for i in range(3):
+        pipe.process_batch(
+            pandas_to_events_df(spark, pdf.iloc[(n * i) // 3:(n * (i + 1)) // 3]), i
+        )
+    for name, table in tables.items():
+        mask = (~pdf["op"].isin(["I", "U", "D"])) | (pdf["table"] == name)
+        oracle = sequential_oracle(pdf[mask]).drop(columns=["meta"])
+        got = (
+            table.read(spark).toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            .astype({"turn_idx": "int64"})
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(
+            got[oracle.columns.tolist()],
+            oracle.astype({"turn_idx": "int64"}).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
 # ------------------------------------------------------------------- IVF
 
 def _clustered_embeddings(spark, n=200, dims=16, n_clusters=4):
