@@ -69,15 +69,21 @@ def _replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = LakeTable.create(
         path, _DERIVED_TARGET, ["conv_id", "turn_idx"], num_buckets=_CFG.num_buckets
     )
-    replay_batch(spark, feed, table, _CFG, batch_id=0)
-    out = table.read(spark)
-    return out.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-    )
+    try:
+        replay_batch(spark, feed, table, _CFG, batch_id=0)
+        out = table.read(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts_str"),
+        )
+        # materialize the (small, per-key) result so the temp lake dir can
+        # be removed instead of leaking per driver/bench invocation
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        table.drop()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -198,15 +204,22 @@ def _q_multi_table(spark, sf_dir):
             path, _DERIVED_TARGET, ["conv_id", "turn_idx"],
             num_buckets=_CFG.num_buckets,
         )
-    replay_batch_multi(spark, ev, tables, _CFG, batch_id=0)
-    parts = []
-    for name, t in tables.items():
-        parts.append(t.read(spark).select(
-            F.lit(name).alias("tbl"), "conv_id", "turn_idx", "role", "text",
-            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-            .alias("ts_str"),
-        ))
-    return parts[0].unionByName(parts[1])
+    try:
+        replay_batch_multi(spark, ev, tables, _CFG, batch_id=0)
+        parts = []
+        for name, t in tables.items():
+            parts.append(t.read(spark).select(
+                F.lit(name).alias("tbl"), "conv_id", "turn_idx", "role",
+                "text",
+                F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("ts_str"),
+            ))
+        out = parts[0].unionByName(parts[1])
+        # materialize so the temp lake dirs can be removed, not leaked
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for t in tables.values():
+            t.drop()
 
 
 def _q_before_trim(spark, sf_dir):
@@ -832,12 +845,13 @@ _TRAINING_ORACLES = {
         ) WHERE rnk <= 5
     """,
     # integer-rational cosine threshold: cos >= t <=> dot>0 and
-    # 100^2 dot^2 >= (100t)^2 |a|^2 |b|^2 over floor(x*1000) ints — exact
+    # 100^2 dot^2 >= (100t)^2 |a|^2 |b|^2 over floor(x*100) ints — exact,
+    # and x100 (not x1000) keeps the squared comparison inside int64
     "dedup_embed_neardup": """
         WITH v AS (
           SELECT vec_id,
             list_transform(generate_series(1,64),
-              i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT))
+              i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*100) AS BIGINT))
               AS qv
           FROM embeddings
         ), n AS (

@@ -537,6 +537,21 @@ class LakeTable:
         new_schema = StructType(cur.fields).add(name, spark_type, True)
         self._bump_schema(m, new_schema, {"operation": "add-column", "column": name})
 
+    def alter_drop_column(self, name: str) -> None:
+        """Metadata-only DROP COLUMN (Iceberg schema evolution): the column
+        leaves the current schema; historical files keep the bytes but
+        readers project only current fields. Key columns refuse (the merge
+        identity must not change under a running stream)."""
+        m = dict(self.manifest())
+        if name in m["key_cols"]:
+            raise ValueError(f"cannot drop merge-key column {name!r}")
+        cur = StructType.fromJson(m["schema"])
+        if name not in [f.name for f in cur.fields]:
+            return  # idempotent retry
+        fields = [f for f in cur.fields if f.name != name]
+        self._bump_schema(m, StructType(fields),
+                          {"operation": "drop-column", "column": name})
+
     def alter_widen(self, name: str, spark_type) -> None:
         """Metadata-only type widen (e.g. int -> bigint). Idempotent: a
         retried DDL whose target type already matches is a no-op."""
@@ -579,6 +594,9 @@ class LakeTable:
         at object-store scale the deletes fan out to a bulk-delete API.
         """
         cur = self.current_version()
+        # the current snapshot is ALWAYS retained — keep_last <= 0 would
+        # otherwise unreference every file including the live ones
+        keep_last = max(1, int(keep_last))
         cutoff = max(0, cur - keep_last + 1)
         keep_paths: set[str] = set()
         for v in range(cutoff, cur + 1):

@@ -162,8 +162,16 @@ def decode_events(
             key_ok = key_ok & F.col(k).isNotNull()
         out = out.where((~F.col("op").isin(*DML_OPS)) | key_ok)
 
+    return _post_decode(out, cfg, normalize_text, use_pandas_normalize)
+
+
+def _post_decode(out: DataFrame, cfg: EngineConfig, normalize_text: bool,
+                 use_pandas_normalize: bool) -> DataFrame:
+    """Shared decode tail (single- and multi-table paths): payload
+    normalize + optional D3 before-image trim."""
     if normalize_text and "after" in out.columns:
-        norm = _normalize_text_pandas if use_pandas_normalize else _normalize_text_jvm
+        norm = (_normalize_text_pandas if use_pandas_normalize
+                else _normalize_text_jvm)
         out = out.withColumn(
             "after",
             F.when(
@@ -181,6 +189,7 @@ def decode_events_multi(
     tables: dict[str, "object"],
     cfg: EngineConfig,
     normalize_text: bool = True,
+    use_pandas_normalize: bool = False,
 ) -> DataFrame:
     """Multi-table decode: dictionary filter over the ROUTED table set with a
     PER-TABLE merge-key check (reference: many OWNER.NAME masks each with its
@@ -189,32 +198,24 @@ def decode_events_multi(
 
     ``tables``: table name -> LakeTable (its manifest key_cols are the
     table's merge key). Control ops (B/C/R/PR) pass regardless of table.
+    Honors the same cfg options as the single-table path: ``schemaless``
+    (skip both filters), ``trim_unchanged``, pandas-normalize escape hatch.
     """
     out = apply_start_position(events, cfg).where(F.col("op").isin(*VALID_OPS))
-    names = list(tables)
-    out = out.where(
-        (~F.col("op").isin(*DML_OPS)) | F.col("table").isin(*names)
-    )
-    # per-table row-class filter: DML must carry that table's full key
-    key_ok = F.lit(False)
-    for name, t in tables.items():
-        ok = F.lit(True)
-        for k in t.key_cols:
-            ok = ok & F.col(k).isNotNull()
-        key_ok = F.when(F.col("table") == name, ok).otherwise(key_ok)
-    out = out.where((~F.col("op").isin(*DML_OPS)) | key_ok)
-
-    if normalize_text and "after" in out.columns:
-        out = out.withColumn(
-            "after",
-            F.when(
-                F.col("after").isNotNull(),
-                F.col("after").withField(
-                    "text", _normalize_text_jvm(F.col("after.text"))
-                ),
-            ),
+    if not cfg.schemaless:
+        names = list(tables)
+        out = out.where(
+            (~F.col("op").isin(*DML_OPS)) | F.col("table").isin(*names)
         )
-    return out
+        # per-table row-class filter: DML must carry that table's full key
+        key_ok = F.lit(False)
+        for name, t in tables.items():
+            ok = F.lit(True)
+            for k in t.key_cols:
+                ok = ok & F.col(k).isNotNull()
+            key_ok = F.when(F.col("table") == name, ok).otherwise(key_ok)
+        out = out.where((~F.col("op").isin(*DML_OPS)) | key_ok)
+    return _post_decode(out, cfg, normalize_text, use_pandas_normalize)
 
 
 def feed_audit(events: DataFrame) -> DataFrame:

@@ -60,18 +60,27 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
 
     parts = ddl.strip().split()
     kind = parts[0].upper() if parts else ""
-    if kind == "ADD" and len(parts) >= 4 and parts[1].upper() == "COLUMN":
+    unit = parts[1].upper() if len(parts) > 1 else ""
+    log = logging.getLogger(__name__)
+    if kind == "ADD" and len(parts) >= 4 and unit == "COLUMN":
         table.alter_add_column(parts[2], _spark_type(parts[3]))
     elif kind == "WIDEN" and len(parts) >= 3:
         table.alter_widen(parts[1], _spark_type(parts[2]))
-    elif kind == "TRUNCATE":
+    elif kind == "TRUNCATE" and unit in ("", "TABLE", "PARTITION"):
         # partition-level truncate (type 86) degrades to full truncate: the
         # lake target is not partition-aligned with the source's partitions
         table.truncate()
-    elif kind == "DROP":
+    elif kind == "DROP" and unit == "COLUMN" and len(parts) >= 3:
+        try:
+            table.alter_drop_column(parts[2])
+        except ValueError as e:  # key column — report, don't halt the feed
+            log.warning("skipping DROP COLUMN: %s", e)
+    elif kind == "DROP" and unit in ("", "TABLE"):
+        # verb + unit matched precisely: 'DROP INDEX i' etc. must NOT
+        # tombstone the whole table (caught in review)
         table.mark_dropped()
     else:
-        logging.getLogger(__name__).warning(
+        log.warning(
             "skipping unrecognized DDL (reported, not applied): %r", ddl
         )
 
@@ -275,11 +284,15 @@ def _merge_slice(
 
 
 def assemble(
-    events: DataFrame, cfg: EngineConfig, use_pandas: bool = True,
+    events: DataFrame, cfg: EngineConfig, use_pandas: bool | None = None,
     emit_open: bool = False,
 ):
     """Assembly dispatch: applyInPandas per-key state (north-rule default) or
-    the equivalent JVM window-function form."""
+    the equivalent JVM window-function form. ``use_pandas=None`` defers to
+    ``cfg.assembly_mode`` ('pandas' | 'sql' — see config.py for the
+    single-node vs extreme-scale trade)."""
+    if use_pandas is None:
+        use_pandas = cfg.assembly_mode != "sql"
     if use_pandas:
         res = assemble_transactions_pandas(events, cfg, emit_open=emit_open)
         if not emit_open:
@@ -319,7 +332,7 @@ def replay_batch(
     table: LakeTable,
     cfg: EngineConfig,
     batch_id: int = 0,
-    use_pandas_assembly: bool = True,
+    use_pandas_assembly: bool | None = None,
     extra_summary: dict | None = None,
 ) -> list[dict]:
     """Replay a bounded slice of the change feed into the target table.
@@ -360,7 +373,7 @@ def replay_batch_multi(
     tables: dict[str, LakeTable],
     cfg: EngineConfig,
     batch_id: int = 0,
-    use_pandas_assembly: bool = True,
+    use_pandas_assembly: bool | None = None,
 ) -> dict[str, list[dict]]:
     """Replay one feed slice into SEVERAL target tables, routed by the
     event's ``table`` column (reference: many OWNER.NAME masks with

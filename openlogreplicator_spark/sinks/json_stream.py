@@ -41,7 +41,8 @@ def _op_code():
     return c.otherwise(F.col("op"))
 
 
-def _entry(df: DataFrame, cfg: EngineConfig, owner: str):
+def _entry(df: DataFrame, cfg: EngineConfig, owner: str,
+           key_cols: "tuple[str, ...] | None" = None):
     """One payload entry: {op, schema:{owner,table}, key, before?, after?}.
     ``table``/``before`` are optional on the input (the replay plan projects
     them away before the shuffle) — absent columns are rendered as constants
@@ -52,7 +53,8 @@ def _entry(df: DataFrame, cfg: EngineConfig, owner: str):
         _op_code().alias("op"),
         F.struct(F.lit(owner).alias("owner"), table_col.alias("table"))
         .alias("schema"),
-        F.struct(*[F.col(k) for k in cfg.key_cols]).alias("key"),
+        F.struct(*[F.col(k) for k in (key_cols or cfg.key_cols)])
+        .alias("key"),
     ]
     if "before" in df.columns:
         cols.append(F.col("before").alias("before"))
@@ -62,13 +64,14 @@ def _entry(df: DataFrame, cfg: EngineConfig, owner: str):
 
 
 def change_stream_ops(
-    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR"
+    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
+    key_cols: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Per-op messages ("message":0 mode) — map-only, no shuffle.
 
     Output: (scn, commit_scn, xid, value) where ``value`` is the JSON text.
     """
-    entry = _entry(assembled, cfg, owner)
+    entry = _entry(assembled, cfg, owner, key_cols)
     msg = F.struct(
         F.col("commit_scn").alias("scn"),
         F.col("scn").alias("op_scn"),
@@ -82,7 +85,8 @@ def change_stream_ops(
 
 
 def change_stream_messages(
-    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR"
+    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
+    key_cols: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Per-transaction messages ("message":1 mode): one JSON document per
     committed transaction, ops in (scn, seq) insertion order
@@ -90,7 +94,7 @@ def change_stream_messages(
 
     Output: (commit_scn, xid, n_ops, value).
     """
-    entry = _entry(assembled, cfg, owner)
+    entry = _entry(assembled, cfg, owner, key_cols)
     per_tx = assembled.groupBy("xid", "commit_scn").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("scn"), F.col("seq"), entry.alias("e")))

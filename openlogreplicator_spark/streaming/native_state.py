@@ -46,11 +46,16 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from openlogreplicator_spark.config import EngineConfig
 
-# payload carried through state as one JSON string per event
+# payload carried through state as one JSON string per event. The JSON
+# timestamp format MUST carry microseconds: Spark's default to_json renders
+# milliseconds only, silently truncating .123456 -> .123 on the round-trip
+# (verified on this pyspark build) — which would break the per-turn
+# equality contract for microsecond feeds.
 _PAYLOAD_SCHEMA = (
     "struct<after:struct<role:string,text:string,tool:string,"
     "ts:timestamp,meta:string>,cols_set:array<string>>"
 )
+_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
 
 OUT_SCHEMA = (
     "xid string, scn long, seq long, op string, conv_id string, "
@@ -95,32 +100,40 @@ def make_assembler(cfg: EngineConfig):
             buf, has_begin = [], False
 
         parts = [p for p in pdfs if len(p)]
+        emitted = False
         if parts:
             new = pd.concat(parts, ignore_index=True)
             new = new.sort_values(["scn", "seq"], kind="mergesort")
-            has_begin = has_begin or bool((new["op"] == "B").any())
-            terminator = None
+            # process terminators IN ORDER: an R mid-batch must discard the
+            # buffer before a later B/DML/C of a reused xid builds the next
+            # transaction (honoring only the last terminator would resurrect
+            # rolled-back DML and drop post-terminator events)
             for r in new.itertuples(index=False):
-                if r.op in ("C", "R"):
-                    terminator = (r.op, int(r.scn))
+                if r.op == "B":
+                    has_begin = True
+                elif r.op == "R":
+                    buf, has_begin = [], False
+                elif r.op == "C":
+                    if (has_begin or not require_begin) and buf:
+                        yield _emit(sorted(buf), int(r.scn), xid)
+                        emitted = True
+                    buf, has_begin = [], False
                 elif r.op in DML or r.op == "PR":
                     buf.append([
                         int(r.scn), int(r.seq), r.op, r.conv_id,
                         None if pd.isna(r.turn_idx) else int(r.turn_idx),
                         r.payload,
                     ])
-            if terminator is not None:
-                state.remove()
-                kind, cscn = terminator
-                if kind == "C" and (has_begin or not require_begin) and buf:
-                    yield _emit(sorted(buf), cscn, xid)
-                return
 
-        state.update(([json.dumps(r) for r in sorted(buf)], has_begin))
-        yield pd.DataFrame(columns=[
-            "xid", "scn", "seq", "op", "conv_id", "turn_idx", "payload",
-            "commit_scn",
-        ])
+        if buf or has_begin:
+            state.update(([json.dumps(r) for r in sorted(buf)], has_begin))
+        elif state.exists:
+            state.remove()
+        if not emitted:
+            yield pd.DataFrame(columns=[
+                "xid", "scn", "seq", "op", "conv_id", "turn_idx", "payload",
+                "commit_scn",
+            ])
 
     return assemble
 
@@ -134,7 +147,7 @@ def streaming_assembly(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     """
     slim = events.select(
         "xid", "scn", "seq", "op", "conv_id", "turn_idx",
-        F.to_json(F.struct("after", "cols_set")).alias("payload"),
+        F.to_json(F.struct("after", "cols_set"), _JSON_OPTS).alias("payload"),
     )
     out = slim.groupBy("xid").applyInPandasWithState(
         make_assembler(cfg),
@@ -143,7 +156,9 @@ def streaming_assembly(events: DataFrame, cfg: EngineConfig) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
-    parsed = out.withColumn("p", F.from_json("payload", _PAYLOAD_SCHEMA))
+    parsed = out.withColumn(
+        "p", F.from_json("payload", _PAYLOAD_SCHEMA, _JSON_OPTS)
+    )
     return parsed.select(
         "xid", "scn", "seq", "op", "conv_id", "turn_idx", "commit_scn",
         F.col("p.after").alias("after"), F.col("p.cols_set").alias("cols_set"),

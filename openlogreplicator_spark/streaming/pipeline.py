@@ -50,7 +50,7 @@ class CDCStreamPipeline:
         table: "LakeTable | dict[str, LakeTable]",
         cfg: EngineConfig,
         state_dir: str,
-        use_pandas_assembly: bool = True,
+        use_pandas_assembly: bool | None = None,
         change_stream_dir: str | None = None,
     ):
         # single-table (reference: one mask) or multi-table routed streaming
@@ -147,10 +147,25 @@ class CDCStreamPipeline:
                     change_stream_messages, write_change_stream,
                 )
 
-                write_change_stream(
-                    change_stream_messages(committed, self.cfg),
-                    os.path.join(self.change_stream_dir, f"batch_{batch_id}"),
-                )
+                if self.tables is not None:
+                    # per-table serialization: each table's messages carry
+                    # ITS key columns (per-table key overrides), in a
+                    # per-table subdir
+                    for name, tbl in self.tables.items():
+                        write_change_stream(
+                            change_stream_messages(
+                                committed.where(F.col("table") == name),
+                                self.cfg, key_cols=tuple(tbl.key_cols),
+                            ),
+                            os.path.join(self.change_stream_dir, name,
+                                         f"batch_{batch_id}"),
+                        )
+                else:
+                    write_change_stream(
+                        change_stream_messages(committed, self.cfg),
+                        os.path.join(self.change_stream_dir,
+                                     f"batch_{batch_id}"),
+                    )
         finally:
             committed.unpersist()
 

@@ -116,6 +116,29 @@ def test_drop_tombstones_table(spark, tmp_path):
     assert table.read(spark).count() == 0
 
 
+def test_drop_verbs_match_precisely(spark, tmp_path):
+    """'DROP INDEX i' must NOT tombstone the table; 'DROP COLUMN x' evolves
+    the schema; dropping a merge-key column is refused (logged, not fatal)."""
+    events = generate_change_events(spark, n_txs=80, n_convs=10, seed=37)
+    feed, _ = _with_ddl_row(spark, events, "DROP INDEX some_index")
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    replay_batch(spark, feed, table, CFG, batch_id=1)
+    assert not table.is_dropped()
+    assert table.read(spark).count() > 0
+
+    # DROP COLUMN removes a payload column from the current schema
+    table.alter_add_column("meta", __import__(
+        "pyspark.sql.types", fromlist=["StringType"]).StringType())
+    assert "meta" in [f.name for f in table.schema().fields]
+    from openlogreplicator_spark.plans.replay import _apply_ddl
+    _apply_ddl(table, "DROP COLUMN meta")
+    assert "meta" not in [f.name for f in table.schema().fields]
+    _apply_ddl(table, "DROP COLUMN conv_id")  # key col: refused, not fatal
+    assert "conv_id" in [f.name for f in table.schema().fields]
+    # reads still work against pre-drop files
+    assert table.read(spark).count() > 0
+
+
 def test_unknown_ddl_is_skipped_not_fatal(spark, tmp_path):
     events = generate_change_events(spark, n_txs=100, n_convs=15, seed=29)
     feed, _scn = _with_ddl_row(spark, events, "ANALYZE TABLE transcripts")

@@ -40,6 +40,128 @@ def _write_feed_files(spark, events, feed_dir, n_files):
     return pdf
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+def _run_kernel(rows, state=None):
+    import pandas as pd
+
+    from openlogreplicator_spark.streaming.native_state import make_assembler
+
+    fn = make_assembler(CFG)
+    st = state or _FakeState()
+    pdf = pd.DataFrame(rows, columns=[
+        "xid", "scn", "seq", "op", "conv_id", "turn_idx", "payload"])
+    out = [f for f in fn(("x1",), [pdf], st) if len(f)]
+    import pandas as _pd
+    emitted = _pd.concat(out, ignore_index=True) if out else _pd.DataFrame(
+        columns=["xid", "scn", "seq", "op", "commit_scn"])
+    return emitted, st
+
+
+def test_kernel_rollback_then_new_tx_same_batch():
+    """R mid-batch discards only the pre-R buffer; a reused xid's later
+    B/I/C in the same batch commits independently (terminators processed in
+    order, not just the last one)."""
+    emitted, st = _run_kernel([
+        ("x1", 1, 0, "I", "c1", 1, "{}"),
+        ("x1", 2, 1, "R", None, None, None),
+        ("x1", 3, 0, "B", None, None, None),
+        ("x1", 4, 1, "I", "c1", 2, "{}"),
+        ("x1", 5, 2, "C", None, None, None),
+    ])
+    assert sorted(emitted["scn"]) == [4]
+    assert list(emitted["commit_scn"]) == [5]
+    assert not st.exists
+
+
+def test_kernel_rollback_then_open_tx_same_batch():
+    """After an R, a new open (unterminated) transaction of the same xid
+    must persist in state — not be dropped with the rolled-back one."""
+    emitted, st = _run_kernel([
+        ("x1", 1, 0, "I", "c1", 1, "{}"),
+        ("x1", 2, 1, "R", None, None, None),
+        ("x1", 3, 0, "B", None, None, None),
+        ("x1", 4, 1, "I", "c1", 2, "{}"),
+    ])
+    assert len(emitted) == 0
+    assert st.exists
+    rows, has_begin = st.get
+    assert has_begin and len(rows) == 1
+    # the follow-up commit in the next batch emits the surviving I@4
+    emitted2, st2 = _run_kernel([("x1", 5, 2, "C", None, None, None)], st)
+    assert sorted(emitted2["scn"]) == [4] and not st2.exists
+
+
+def test_kernel_two_commits_same_batch():
+    emitted, st = _run_kernel([
+        ("x1", 1, 0, "B", None, None, None),
+        ("x1", 2, 1, "I", "c1", 1, "{}"),
+        ("x1", 3, 2, "C", None, None, None),
+        ("x1", 4, 0, "B", None, None, None),
+        ("x1", 5, 1, "U", "c1", 1, "{}"),
+        ("x1", 6, 2, "C", None, None, None),
+    ])
+    got = sorted(zip(emitted["scn"], emitted["commit_scn"]))
+    assert got == [(2, 3), (5, 6)]
+    assert not st.exists
+
+
+def test_streaming_assembly_preserves_microseconds(spark, tmp_path):
+    """The state-store JSON round-trip must not truncate timestamps to
+    milliseconds (explicit micros timestampFormat)."""
+    import datetime
+
+    from openlogreplicator_spark.feed import pandas_to_events_df
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    events = generate_change_events(spark, n_txs=5, n_convs=2, seed=7)
+    pdf = events.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    pdf["ts"] = ts
+    pdf["after"] = pdf["after"].map(
+        lambda a: None if a is None else {**a.asDict(), "ts": ts})
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    sdf = pandas_to_events_df(spark, pdf)
+    tmp = os.path.join(feed_dir, "_t")
+    sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                os.path.join(feed_dir, "seq0000.parquet"))
+    shutil.rmtree(tmp)
+
+    src = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(feed_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_assembly(src, CFG)
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [r["ts"] for r in
+           spark.read.parquet(out_dir).select("after.ts").collect()
+           if r["ts"] is not None]  # D / trimmed-U rows carry no after.ts
+    assert got and all(v.microsecond == 123456 for v in got)
+
+
 def test_streaming_assembly_equals_batch_assembler(spark, tmp_path):
     events = generate_change_events(spark, n_txs=150, n_convs=20, seed=83,
                                     p_partial_rollback=0.15)
