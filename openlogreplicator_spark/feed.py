@@ -42,11 +42,21 @@ PAYLOAD_FIELDS = [
 
 IMAGE_TYPE = StructType([StructField(n, t, True) for n, t in PAYLOAD_FIELDS])
 
+# one packed row of a multi-row (QMI/QMD) event — reference 11.11/11.12
+# Quick Multi-row Insert/Delete carry nrow per-row slots in ONE redo vector
+# (OpCode.cpp:631-654, unnested at OutputBuffer.cpp:1407-1522)
+MULTIROW_TYPE = StructType([
+    StructField("conv_id", StringType(), True),
+    StructField("turn_idx", LongType(), True),
+    StructField("after", IMAGE_TYPE, True),
+    StructField("cols_set", ArrayType(StringType()), True),
+])
+
 CHANGE_EVENT_SCHEMA = StructType([
     StructField("scn", LongType(), False),
     StructField("seq", LongType(), False),
     StructField("xid", StringType(), False),
-    StructField("op", StringType(), False),      # B C R I U D PR DDL
+    StructField("op", StringType(), False),      # B C R I U D PR MI MD DDL
     StructField("table", StringType(), False),
     StructField("conv_id", StringType(), True),
     StructField("turn_idx", LongType(), True),
@@ -54,6 +64,7 @@ CHANGE_EVENT_SCHEMA = StructType([
     StructField("after", IMAGE_TYPE, True),
     StructField("before_cols", ArrayType(StringType()), True),
     StructField("cols_set", ArrayType(StringType()), True),  # after-image cols
+    StructField("rows", ArrayType(MULTIROW_TYPE), True),     # MI/MD payload
     StructField("ddl", StringType(), True),
     StructField("ts", TimestampType(), True),
 ])
@@ -87,6 +98,7 @@ def generate_change_events(
     p_partial_rollback: float = 0.05,
     p_delete: float = 0.08,
     p_insert: float = 0.35,
+    p_multirow: float = 0.0,
     zipf_a: float = 3.0,
     with_ddl: bool = False,
     seed: int = 42,
@@ -202,18 +214,59 @@ def generate_change_events(
         F.array().cast("array<string>")
     )
 
+    # multi-row events (QMI/QMD analog, reference 11.11/11.12): a fraction of
+    # I/D events pack 2-4 rows into ONE event; decode unnests them back into
+    # standard I/D events with a per-row seq sub-ordinal
+    is_mi = (op == "I") & (_u("mi", s, F.col("tx_id"), seq) < F.lit(p_multirow))
+    is_md = (op == "D") & (_u("md", s, F.col("tx_id"), seq) < F.lit(p_multirow))
+    n_packed = (F.floor(_u("mrn", s, F.col("tx_id"), seq) * 3) + 2).cast("int")
+
+    def _packed_row(j):
+        p_turn = F.floor(
+            _u("mrturn", s, F.col("conv_id"), seq, F.col("tx_id"), j)
+            * turns_per_conv
+        ).cast("long")
+        p_text = F.concat(
+            F.lit("turn "), F.col("conv_id"), F.lit("/"), p_turn,
+            F.lit(" v"), scn, F.lit("."), j.cast("string"),
+        )
+        p_after = F.when(
+            is_mi,
+            F.struct(
+                role.alias("role"), p_text.alias("text"), tool.alias("tool"),
+                ets.alias("ts"), F.lit(None).cast("string").alias("meta"),
+            ),
+        )
+        return F.struct(
+            F.col("conv_id").alias("conv_id"),
+            p_turn.alias("turn_idx"),
+            p_after.alias("after"),
+            F.when(is_mi, all_payload)
+            .otherwise(F.array().cast("array<string>")).alias("cols_set"),
+        )
+
+    packed = F.when(
+        is_mi | is_md,
+        F.transform(F.sequence(F.lit(1), n_packed), _packed_row),
+    ).cast(ArrayType(MULTIROW_TYPE))
+
+    op_f = F.when(is_mi, F.lit("MI")).when(is_md, F.lit("MD")).otherwise(op)
+    multi = is_mi | is_md
+
     out = ev.select(
         scn.alias("scn"),
         seq.alias("seq"),
         F.concat(F.lit("x"), F.col("tx_id")).alias("xid"),
-        op.alias("op"),
+        op_f.alias("op"),
         F.lit("transcripts").alias("table"),
-        F.when(is_dml, F.col("conv_id")).alias("conv_id"),
-        F.when(is_dml, turn_idx).alias("turn_idx"),
-        before.alias("before"),
-        after.alias("after"),
-        before_cols.alias("before_cols"),
-        cols_set.alias("cols_set"),
+        F.when(is_dml & ~multi, F.col("conv_id")).alias("conv_id"),
+        F.when(is_dml & ~multi, turn_idx).alias("turn_idx"),
+        F.when(~multi, before).alias("before"),
+        F.when(~multi, after).alias("after"),
+        F.when(~multi, before_cols)
+        .otherwise(F.array().cast("array<string>")).alias("before_cols"),
+        F.when(~multi, cols_set).alias("cols_set"),
+        packed.alias("rows"),
         F.lit(None).cast("string").alias("ddl"),
         ets.alias("ts"),
     )
@@ -223,9 +276,9 @@ def generate_change_events(
         ddl_rows = spark.createDataFrame(
             [
                 (mid, 0, "ddl-1", "DDL", "transcripts", None, None, None, None,
-                 [], [], "ADD COLUMN meta string", None),
-                (mid + 1, 0, "ddl-2", "DDL", "transcripts", None, None, None, None,
-                 [], [], "WIDEN turn_idx bigint", None),
+                 [], [], None, "ADD COLUMN meta string", None),
+                (mid + 1, 0, "ddl-2", "DDL", "transcripts", None, None, None,
+                 None, [], [], None, "WIDEN turn_idx bigint", None),
             ],
             CHANGE_EVENT_SCHEMA,
         )
@@ -276,9 +329,11 @@ def sequential_oracle(events: pd.DataFrame, require_begin: bool = True) -> pd.Da
         if r.op == "B":
             st["begin"] = True
         elif r.op == "PR":
+            # pops ONE buffered entry — a packed MI/MD vector counts as one
+            # (reference whole-record pop, TransactionBuffer.cpp:159-183)
             if st["events"]:
                 st["events"].pop()
-        elif r.op in ("I", "U", "D"):
+        elif r.op in ("I", "U", "D", "MI", "MD"):
             st["events"].append(r)
         elif r.op == "R":
             open_tx.pop(r.xid, None)
@@ -299,6 +354,18 @@ def sequential_oracle(events: pd.DataFrame, require_begin: bool = True) -> pd.Da
         if txt and txt.strip().split()[0].upper() in ("TRUNCATE", "DROP")
     )
     dropped = False
+    def _apply_one(op, key, img, cols):
+        if op == "D":
+            state.pop(key, None)
+            return
+        row = state.get(key)
+        if row is None:
+            row = {c: None for c in payload}
+            state[key] = row
+        img = img or {}
+        for c in (cols or []):
+            row[c] = img.get(c) if isinstance(img, dict) else img[c]
+
     for _cscn, _scn, _seq, e in committed:
         while life_ddls and life_ddls[0][0] < _cscn:
             _dscn, verb = life_ddls.pop(0)
@@ -306,17 +373,14 @@ def sequential_oracle(events: pd.DataFrame, require_begin: bool = True) -> pd.Da
             dropped = dropped or (verb == "DROP")
         if dropped:
             break
-        key = (e.conv_id, e.turn_idx)
-        if e.op == "D":
-            state.pop(key, None)
+        if e.op in ("MI", "MD"):
+            # unnest the packed vector in slot order (D5)
+            sub = "I" if e.op == "MI" else "D"
+            for rr in (e.rows or []):
+                _apply_one(sub, (rr["conv_id"], rr["turn_idx"]),
+                           rr["after"], rr["cols_set"])
             continue
-        row = state.get(key)
-        if row is None:
-            row = {c: None for c in payload}
-            state[key] = row
-        img = e.after or {}
-        for c in (e.cols_set or []):
-            row[c] = img.get(c) if isinstance(img, dict) else img[c]
+        _apply_one(e.op, (e.conv_id, e.turn_idx), e.after, e.cols_set)
 
     if life_ddls:  # DDL after the last commit still applies
         state.clear()

@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from openlogreplicator_spark.config import EngineConfig
 
-DML = ("I", "U", "D")
+# multi-row ops (MI/MD) count as ONE stack entry: a partial rollback pops
+# the whole packed vector, exactly like the reference's per-record
+# transaction-buffer pop (TransactionBuffer.cpp:159-183); they unnest only
+# after assembly (operators/decode.py unnest_multirow)
+DML = ("I", "U", "D", "MI", "MD")
 
 
 def _flags(events: DataFrame, require_begin: bool):

@@ -23,8 +23,12 @@ from pyspark.sql.types import StringType
 
 from openlogreplicator_spark.config import EngineConfig
 
-VALID_OPS = ("B", "C", "R", "I", "U", "D", "PR", "DDL")
+VALID_OPS = ("B", "C", "R", "I", "U", "D", "PR", "MI", "MD", "DDL")
 DML_OPS = ("I", "U", "D")
+# multi-row ops (QMI/QMD, reference 11.11/11.12): ONE event packs N rows in
+# `rows`; they stay packed through assembly (a partial rollback pops the
+# WHOLE vector, TransactionBuffer.cpp:159-183) and unnest afterwards
+MULTI_OPS = ("MI", "MD")
 
 
 # Unicode-aware trailing-whitespace class, spelled out explicitly because
@@ -142,6 +146,7 @@ def decode_events(
     # schemaless mode: no dictionary, no key requirement — every event
     # passes decode untouched (types.h:139 analog); consumers are the
     # change-stream serializer, not the keyed MERGE
+    row_ops = DML_OPS + MULTI_OPS
     if not cfg.schemaless:
         # table-dictionary predicate — pushed down to the scan by Catalyst
         # (control ops B/C/R/PR carry the table too in our feed, be lenient).
@@ -154,9 +159,10 @@ def decode_events(
             pred = F.col("table").isin(*exact) if exact else F.lit(False)
             for m in masks:
                 pred = pred | F.col("table").like(m)
-            out = out.where((~F.col("op").isin(*DML_OPS)) | pred)
+            out = out.where((~F.col("op").isin(*row_ops)) | pred)
 
-        # row-class filter: DML must carry a full merge key
+        # row-class filter: single-row DML must carry a full merge key
+        # (multi-row ops carry their keys inside `rows`)
         key_ok = F.lit(True)
         for k in cfg.key_cols:
             key_ok = key_ok & F.col(k).isNotNull()
@@ -179,9 +185,84 @@ def _post_decode(out: DataFrame, cfg: EngineConfig, normalize_text: bool,
                 F.col("after").withField("text", norm(F.col("after.text"))),
             ),
         )
+    if normalize_text and "rows" in out.columns:
+        # packed multi-row payloads normalize too (JVM kernel only: a
+        # pandas UDF cannot appear inside a higher-order transform lambda)
+        out = out.withColumn(
+            "rows",
+            F.when(
+                F.col("rows").isNotNull(),
+                F.transform(
+                    F.col("rows"),
+                    lambda r: r.withField(
+                        "after",
+                        F.when(
+                            r.getField("after").isNotNull(),
+                            r.getField("after").withField(
+                                "text",
+                                _normalize_text_jvm(
+                                    r.getField("after").getField("text")
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
     if cfg.trim_unchanged:
         out = before_image_trim(out)
     return out
+
+
+def unnest_multirow(assembled: DataFrame) -> DataFrame:
+    """D5 multi-row unnest (reference OutputBuffer.cpp:1407-1522): expand
+    committed MI/MD events into standard I/D rows AFTER assembly — the
+    packed event is the partial-rollback unit (one pop retracts the whole
+    vector), so unnesting earlier would change retraction semantics.
+
+    Exploded rows get seq' = seq*256 + idx (QMI nrow is bounded by
+    the block's slot count, < 256 in the reference) so the (commit_scn, scn, seq)
+    apply order stays total (an MI inserting the same key twice resolves to
+    the later packed row, matching the reference's slot order).
+    """
+    if "rows" not in assembled.columns:
+        return assembled
+    from openlogreplicator_spark.feed import MULTIROW_TYPE
+    from pyspark.sql.types import ArrayType
+
+    # single-pass explode (NO branch+union: a streaming stateful upstream
+    # may appear only once in the plan, and batch avoids a double scan):
+    # every row becomes an array — its packed rows, or a singleton of itself
+    is_multi = F.col("op").isin(*MULTI_OPS)
+    items = F.when(is_multi, F.col("rows")).otherwise(
+        F.array(F.struct(
+            F.col("conv_id").alias("conv_id"),
+            F.col("turn_idx").alias("turn_idx"),
+            F.col("after").alias("after"),
+            F.col("cols_set").alias("cols_set"),
+        ))
+    )
+    m = assembled.select("*", F.posexplode(items).alias("_i", "_r"))
+    proj = []
+    for c in assembled.columns:
+        if c == "seq":
+            proj.append(
+                F.when(is_multi, F.col("seq") * 256 + F.col("_i"))
+                .otherwise(F.col("seq")).alias("seq")
+            )
+        elif c == "op":
+            proj.append(
+                F.when(F.col("op") == "MI", F.lit("I"))
+                .when(F.col("op") == "MD", F.lit("D"))
+                .otherwise(F.col("op")).alias("op")
+            )
+        elif c in ("conv_id", "turn_idx", "after", "cols_set"):
+            proj.append(F.col(f"_r.{c}").alias(c))
+        elif c == "rows":
+            proj.append(F.lit(None).cast(ArrayType(MULTIROW_TYPE)).alias(c))
+        else:
+            proj.append(F.col(c))
+    return m.select(*proj)
 
 
 def decode_events_multi(

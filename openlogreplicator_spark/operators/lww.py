@@ -25,9 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# encode the global apply order (commit_scn, scn) as one orderable struct
+# encode the global apply order (commit_scn, scn, seq) as one orderable
+# struct — seq breaks ties among rows unnested from one multi-row event
+# (they share their packed event's scn)
 def _ord():
-    return F.struct(F.col("commit_scn").alias("c"), F.col("scn").alias("s"))
+    return F.struct(F.col("commit_scn").alias("c"), F.col("scn").alias("s"),
+                    F.col("seq").alias("q"))
 
 
 def net_changes(

@@ -358,10 +358,14 @@ def replay_batch(
     # project to exactly what assembly + net-change + MERGE consume: the
     # before-image / audit columns never reach a shuffle (halves the bytes of
     # the two wide exchanges — verdict join and per-key net-change)
-    dml = decoded.where(F.col("op") != "DDL").select(
-        "scn", "seq", "xid", "op", *cfg.key_cols, "after", "cols_set"
-    )
+    proj = ["scn", "seq", "xid", "op", *cfg.key_cols, "after", "cols_set"]
+    if "rows" in decoded.columns:
+        proj.append("rows")  # packed multi-row payloads (unnested post-assembly)
+    dml = decoded.where(F.col("op") != "DDL").select(*proj)
     assembled = assemble(dml, cfg, use_pandas=use_pandas_assembly)
+    from openlogreplicator_spark.operators.decode import unnest_multirow
+
+    assembled = unnest_multirow(assembled)
     return apply_committed(
         spark, assembled, ddls, table, cfg, batch_id, extra_summary
     )
@@ -409,10 +413,15 @@ def replay_batch_multi(
         for k in t.key_cols:
             if k not in key_union:
                 key_union.append(k)
-    dml = decoded.where(F.col("op") != "DDL").select(
-        "scn", "seq", "xid", "op", "table", *key_union, "after", "cols_set"
-    )
+    proj = ["scn", "seq", "xid", "op", "table", *key_union, "after",
+            "cols_set"]
+    if "rows" in decoded.columns:
+        proj.append("rows")
+    dml = decoded.where(F.col("op") != "DDL").select(*proj)
     assembled = assemble(dml, cfg, use_pandas=use_pandas_assembly)
+    from openlogreplicator_spark.operators.decode import unnest_multirow
+
+    assembled = unnest_multirow(assembled)
 
     stage_dir = None
     if len(tables) >= 3:

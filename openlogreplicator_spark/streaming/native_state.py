@@ -53,7 +53,10 @@ from openlogreplicator_spark.config import EngineConfig
 # equality contract for microsecond feeds.
 _PAYLOAD_SCHEMA = (
     "struct<after:struct<role:string,text:string,tool:string,"
-    "ts:timestamp,meta:string>,cols_set:array<string>>"
+    "ts:timestamp,meta:string>,cols_set:array<string>,"
+    "rows:array<struct<conv_id:string,turn_idx:bigint,"
+    "after:struct<role:string,text:string,tool:string,"
+    "ts:timestamp,meta:string>,cols_set:array<string>>>>"
 )
 _JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
 
@@ -63,7 +66,9 @@ OUT_SCHEMA = (
 )
 _STATE_SCHEMA = "rows array<string>, has_begin boolean"
 
-DML = ("I", "U", "D")
+# MI/MD buffer as ONE entry each (whole-vector partial-rollback unit);
+# they unnest after emission (operators/decode.py unnest_multirow)
+DML = ("I", "U", "D", "MI", "MD")
 
 
 def _emit(rows: list[list], commit_scn: int, xid: str) -> pd.DataFrame:
@@ -147,7 +152,13 @@ def streaming_assembly(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     """
     slim = events.select(
         "xid", "scn", "seq", "op", "conv_id", "turn_idx",
-        F.to_json(F.struct("after", "cols_set"), _JSON_OPTS).alias("payload"),
+        F.to_json(
+            F.struct(
+                "after", "cols_set",
+                *( ["rows"] if "rows" in events.columns else [] ),
+            ),
+            _JSON_OPTS,
+        ).alias("payload"),
     )
     out = slim.groupBy("xid").applyInPandasWithState(
         make_assembler(cfg),
@@ -159,7 +170,11 @@ def streaming_assembly(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     parsed = out.withColumn(
         "p", F.from_json("payload", _PAYLOAD_SCHEMA, _JSON_OPTS)
     )
-    return parsed.select(
+    from openlogreplicator_spark.operators.decode import unnest_multirow
+
+    out2 = parsed.select(
         "xid", "scn", "seq", "op", "conv_id", "turn_idx", "commit_scn",
         F.col("p.after").alias("after"), F.col("p.cols_set").alias("cols_set"),
+        F.col("p.rows").alias("rows"),
     )
+    return unnest_multirow(out2)

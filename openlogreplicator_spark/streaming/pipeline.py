@@ -128,7 +128,12 @@ class CDCStreamPipeline:
         committed, open_rows = assemble(
             events, self.cfg, use_pandas=self.use_pandas_assembly, emit_open=True
         )
-        committed = committed.persist()
+        # unnest committed multi-row (MI/MD) events into standard I/D rows;
+        # open_rows stay PACKED (they round-trip through the pending store
+        # in CHANGE_EVENT form and may still be partially rolled back)
+        from openlogreplicator_spark.operators.decode import unnest_multirow
+
+        committed = unnest_multirow(committed).persist()
         try:
             if self.tables is not None:
                 summaries = []

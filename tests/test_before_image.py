@@ -23,7 +23,7 @@ def _ev(scn, seq, xid, op, key=None, before=None, after=None,
         before_cols=(), cols_set=()):
     conv, turn = key if key else (None, None)
     return (scn, seq, xid, op, "transcripts", conv, turn, before, after,
-            list(before_cols), list(cols_set), None, T0)
+            list(before_cols), list(cols_set), None, None, T0)
 
 
 def test_trim_drops_only_verified_equal_columns(spark):

@@ -30,7 +30,7 @@ def _with_ddl_row(spark, events, ddl_text, scn=None):
         scn = scns[len(scns) // 2]
     row = spark.createDataFrame(
         [(int(scn), 0, "ddl-x", "DDL", "transcripts", None, None, None, None,
-          [], [], ddl_text, None)],
+          [], [], None, ddl_text, None)],
         CHANGE_EVENT_SCHEMA,
     )
     # keep (scn, seq) unique: drop any data event sharing the scn

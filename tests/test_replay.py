@@ -123,6 +123,49 @@ def test_replay_oracle_stress(spark, tmp_path, kw):
     _assert_state_equals(_final_state(table, spark), oracle)
 
 
+@pytest.mark.parametrize("use_pandas", [True, False])
+def test_replay_multirow_matches_oracle(spark, tmp_path, use_pandas):
+    """D5 real path: MI/MD events stay PACKED through assembly (one PR pops
+    the whole vector, reference TransactionBuffer.cpp:159-183 whole-record
+    pop) and unnest afterwards; final state equals the sequential oracle."""
+    cfg = EngineConfig(num_buckets=4)
+    events = generate_change_events(
+        spark, n_txs=250, n_convs=30, p_multirow=0.25,
+        p_partial_rollback=0.12, seed=57,
+    )
+    n_multi = events.where(events.op.isin("MI", "MD")).count()
+    assert n_multi > 10, "fixture must contain packed multi-row events"
+    oracle = sequential_oracle(events.toPandas()).drop(columns=["meta"])
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    replay_batch(spark, events, table, cfg, batch_id=1,
+                 use_pandas_assembly=use_pandas)
+    _assert_state_equals(_final_state(table, spark), oracle)
+
+
+def test_streaming_multirow_matches_oracle(spark, tmp_path):
+    """MI/MD through the streaming pipeline: packed vectors may sit in the
+    pending store across batches before their commit arrives."""
+    from openlogreplicator_spark.feed import pandas_to_events_df
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4)
+    events = generate_change_events(
+        spark, n_txs=150, n_convs=20, p_multirow=0.3, seed=63,
+    )
+    pdf = events.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    oracle = sequential_oracle(pdf).drop(columns=["meta"])
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"))
+    n = len(pdf)
+    for i in range(3):
+        pipe.process_batch(
+            pandas_to_events_df(spark, pdf.iloc[(n * i) // 3:(n * (i + 1)) // 3]), i
+        )
+    _assert_state_equals(_final_state(table, spark), oracle)
+
+
 def test_replay_with_ddl_matches_oracle(spark, tmp_path):
     """Batch replay with mid-feed ADD COLUMN + WIDEN: the target evolves and
     post-DDL events populate the new column (reference only *reports* DDL —
