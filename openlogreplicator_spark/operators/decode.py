@@ -285,8 +285,12 @@ def decode_events_multi(
     out = apply_start_position(events, cfg).where(F.col("op").isin(*VALID_OPS))
     if not cfg.schemaless:
         names = list(tables)
+        # prune unrouted single-row AND packed multi-row DML at the scan
+        # (an unrouted MI would otherwise ride the assembly shuffle only to
+        # be dropped by the per-table filter after unnest)
         out = out.where(
-            (~F.col("op").isin(*DML_OPS)) | F.col("table").isin(*names)
+            (~F.col("op").isin(*(DML_OPS + MULTI_OPS)))
+            | F.col("table").isin(*names)
         )
         # per-table row-class filter: DML must carry that table's full key
         key_ok = F.lit(False)

@@ -166,6 +166,24 @@ def test_streaming_multirow_matches_oracle(spark, tmp_path):
     _assert_state_equals(_final_state(table, spark), oracle)
 
 
+def test_replay_kitchen_sink_matches_oracle(spark, tmp_path):
+    """Everything at once: packed multi-row events + heavy partial rollback
+    + hot-key skew + schema-evolution DDL + start position, against the
+    sequential oracle."""
+    cfg = EngineConfig(num_buckets=4, start_scn=None)
+    events = generate_change_events(
+        spark, n_txs=300, n_convs=12, p_multirow=0.2,
+        p_partial_rollback=0.15, p_rollback=0.1, zipf_a=5.0,
+        with_ddl=True, seed=71,
+    )
+    oracle = sequential_oracle(events.toPandas())
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    replay_batch(spark, events, table, cfg, batch_id=1)
+    got = _final_state(table, spark)
+    assert "meta" in got.columns
+    _assert_state_equals(got, oracle)
+
+
 def test_replay_with_ddl_matches_oracle(spark, tmp_path):
     """Batch replay with mid-feed ADD COLUMN + WIDEN: the target evolves and
     post-DDL events populate the new column (reference only *reports* DDL —
