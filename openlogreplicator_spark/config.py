@@ -78,6 +78,13 @@ class EngineConfig:
 
     extra: dict = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        if self.assembly_mode not in ("pandas", "sql"):
+            raise ValueError(
+                f"assembly_mode must be 'pandas' or 'sql', got "
+                f"{self.assembly_mode!r}"
+            )
+
     @property
     def all_cols(self) -> tuple[str, ...]:
         return tuple(self.key_cols) + tuple(self.payload_cols)

@@ -253,6 +253,13 @@ def generate_change_events(
     op_f = F.when(is_mi, F.lit("MI")).when(is_md, F.lit("MD")).otherwise(op)
     multi = is_mi | is_md
 
+    # compute `rows` in its OWN projection step: inside the final select the
+    # output list re-aliases "conv_id" to a when-nulled expression, and
+    # Spark's lateral-column-alias resolution would rebind the packed rows'
+    # F.col("conv_id") to THAT null — silently null-keying every packed row
+    # (found when the keyless-row filter exposed the engine/oracle mismatch)
+    ev = ev.withColumn("rows", packed)
+
     out = ev.select(
         scn.alias("scn"),
         seq.alias("seq"),
@@ -266,7 +273,7 @@ def generate_change_events(
         F.when(~multi, before_cols)
         .otherwise(F.array().cast("array<string>")).alias("before_cols"),
         F.when(~multi, cols_set).alias("cols_set"),
-        packed.alias("rows"),
+        F.col("rows"),
         F.lit(None).cast("string").alias("ddl"),
         ets.alias("ts"),
     )
@@ -348,10 +355,23 @@ def sequential_oracle(events: pd.DataFrame, require_begin: bool = True) -> pd.Da
     # lifecycle DDL interleaves on commit_scn: a transaction with
     # commit_scn <= ddl_scn applies BEFORE the DDL (the engine slices the
     # apply identically in plans/replay.py apply_committed)
+    def _life_verb(txt: str) -> str | None:
+        """Verb+unit match, kept in lockstep with plans/replay._apply_ddl:
+        only bare/TABLE/PARTITION TRUNCATE and bare/TABLE DROP are lifecycle
+        ('DROP COLUMN x' evolves the schema, 'DROP INDEX i' is skipped)."""
+        parts = (txt or "").strip().split()
+        kind = parts[0].upper() if parts else ""
+        unit = parts[1].upper() if len(parts) > 1 else ""
+        if kind == "TRUNCATE" and unit in ("", "TABLE", "PARTITION"):
+            return "TRUNCATE"
+        if kind == "DROP" and unit in ("", "TABLE"):
+            return "DROP"
+        return None
+
     life_ddls = sorted(
-        (scn, txt.strip().split()[0].upper())
+        (scn, _life_verb(txt))
         for scn, txt in ddls
-        if txt and txt.strip().split()[0].upper() in ("TRUNCATE", "DROP")
+        if _life_verb(txt) is not None
     )
     dropped = False
     def _apply_one(op, key, img, cols):

@@ -288,11 +288,11 @@ def embedding_neardup_pairs(
 
     over floor(x*100)-quantized vectors — no sqrt, no floats. Quantization
     here is x100 (NOT the x1000 the dot/IVF ops use) because the comparison
-    squares the dot: at 64 dims, |q| <= 100|x| gives |dot| <= 64*(100|x|)^2,
-    so 10^4*dot^2 <= 2^63 holds for |x| up to ~9; x1000 would overflow int64
-    at |x| ~ 0.7 (Spark would wrap silently with ANSI off, DuckDB would
-    error — both wrong). Coarser quantization only moves the threshold by
-    <1% on unit-norm-ish vectors.
+    squares the dot: 10^4*dot^2 <= 2^63 requires |dot| <= 3.0e7, and at
+    64 dims |dot| <= 64*(100|x|)^2, so the safe component bound is
+    |x| <= ~6.9 (x1000 would overflow int64 at |x| ~ 0.7 — Spark wraps
+    silently with ANSI off, DuckDB errors; both wrong). Coarser quantization
+    only moves the threshold by <1% on unit-norm-ish vectors.
 
     Scale: this is the EXACT all-pairs verifier — quadratic, like
     ngram_jaccard_pairs. At corpus scale compose with
@@ -300,14 +300,14 @@ def embedding_neardup_pairs(
     the candidates; this function then runs on the candidate join, not the
     full cross product.
     """
-    from openlogreplicator_spark.functions.similarity import _dot_int
-
-    q100 = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast("double") * 100).cast("long")
+    from openlogreplicator_spark.functions.similarity import (
+        _dot_int, _quantize,
     )
+
     t2 = threshold_pct * threshold_pct
     v = emb.select(
-        F.col(id_col).alias("vid"), q100.alias("qv")
+        F.col(id_col).alias("vid"),
+        _quantize(F.col(vec_col), scale=100).alias("qv"),
     ).withColumn("n2", _dot_int(F.col("qv"), F.col("qv")))
     a, b = v.alias("a"), v.alias("b")
     dot = _dot_int(F.col("a.qv"), F.col("b.qv"))

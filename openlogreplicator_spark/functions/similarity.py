@@ -90,11 +90,13 @@ def topk_cosine(
     return _rank_topk(scored, k, "cos").select("query_id", "neighbor_id", "cos", "rnk")
 
 
-def _quantize(vec: Column) -> Column:
-    """floor(x*1000) per component — the integer domain every IVF step runs
-    in, so cell fit + assignment + scoring are bit-reproducible in SQL."""
+def _quantize(vec: Column, scale: int = 1000) -> Column:
+    """floor(x*scale) per component — the integer domain the IVF / near-dup
+    ops run in, so fit + assignment + scoring are bit-reproducible in SQL.
+    Callers that SQUARE dot products (embedding_neardup_pairs) pass
+    scale=100 to stay inside int64."""
     return F.transform(
-        vec, lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        vec, lambda x: F.floor(x.cast("double") * scale).cast("long")
     )
 
 

@@ -232,9 +232,19 @@ def unnest_multirow(assembled: DataFrame) -> DataFrame:
 
     # single-pass explode (NO branch+union: a streaming stateful upstream
     # may appear only once in the plan, and batch avoids a double scan):
-    # every row becomes an array — its packed rows, or a singleton of itself
+    # every row becomes an array — its packed rows, or a singleton of itself.
+    # Packed rows missing a merge key are dropped here — the row-class
+    # filter's keyless-DML invariant, which decode exempts MI/MD from
+    # because their keys live inside `rows`. NOTE: MULTIROW_TYPE is typed to
+    # the transcript key shape (conv_id, turn_idx); tables keyed differently
+    # must use single-row events.
     is_multi = F.col("op").isin(*MULTI_OPS)
-    items = F.when(is_multi, F.col("rows")).otherwise(
+    packed_ok = F.filter(
+        F.col("rows"),
+        lambda r: r.getField("conv_id").isNotNull()
+        & r.getField("turn_idx").isNotNull(),
+    )
+    items = F.when(is_multi, packed_ok).otherwise(
         F.array(F.struct(
             F.col("conv_id").alias("conv_id"),
             F.col("turn_idx").alias("turn_idx"),

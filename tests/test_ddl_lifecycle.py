@@ -125,6 +125,10 @@ def test_drop_verbs_match_precisely(spark, tmp_path):
     replay_batch(spark, feed, table, CFG, batch_id=1)
     assert not table.is_dropped()
     assert table.read(spark).count() > 0
+    # the sequential oracle classifies lifecycle verbs identically
+    # (verb+unit): 'DROP INDEX' is NOT a table drop there either
+    oracle = sequential_oracle(feed.toPandas()).drop(columns=["meta"])
+    _assert_eq(_final_state(table, spark), oracle)
 
     # DROP COLUMN removes a payload column from the current schema
     table.alter_add_column("meta", __import__(

@@ -143,6 +143,35 @@ def test_replay_multirow_matches_oracle(spark, tmp_path, use_pandas):
     _assert_state_equals(_final_state(table, spark), oracle)
 
 
+def test_unnest_drops_keyless_packed_rows(spark, tmp_path):
+    """A malformed packed row with null merge keys must be dropped at
+    unnest — the row-class keyless-DML invariant, which decode exempts
+    MI/MD from because their keys live inside `rows`."""
+    import datetime
+
+    from openlogreplicator_spark.feed import CHANGE_EVENT_SCHEMA
+
+    T0 = datetime.datetime(2024, 1, 1)
+    img = ("user", "ok", None, T0, None)
+    good = ("c1", 1, img, ["role", "text", "ts"])
+    bad = (None, None, img, ["role", "text", "ts"])
+    rows = [
+        (1, 0, "x1", "B", "transcripts", None, None, None, None, [], [],
+         None, None, T0),
+        (2, 1, "x1", "MI", "transcripts", None, None, None, None, [], [],
+         [good, bad], None, T0),
+        (3, 2, "x1", "C", "transcripts", None, None, None, None, [], [],
+         None, None, T0),
+    ]
+    ev = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    cfg = EngineConfig(num_buckets=2)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    replay_batch(spark, ev, table, cfg, batch_id=1)
+    got = table.read(spark).collect()
+    assert len(got) == 1
+    assert (got[0]["conv_id"], got[0]["turn_idx"]) == ("c1", 1)
+
+
 def test_streaming_multirow_matches_oracle(spark, tmp_path):
     """MI/MD through the streaming pipeline: packed vectors may sit in the
     pending store across batches before their commit arrives."""
