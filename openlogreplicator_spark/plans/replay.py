@@ -63,9 +63,23 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
     unit = parts[1].upper() if len(parts) > 1 else ""
     log = logging.getLogger(__name__)
     if kind == "ADD" and len(parts) >= 4 and unit == "COLUMN":
-        table.alter_add_column(parts[2], _spark_type(parts[3]))
+        t = _spark_type(parts[3])
+        if t is None:
+            log.warning(
+                "skipping ADD COLUMN with unknown type (reported, not "
+                "applied): %r", ddl,
+            )
+            return
+        table.alter_add_column(parts[2], t)
     elif kind == "WIDEN" and len(parts) >= 3:
-        table.alter_widen(parts[1], _spark_type(parts[2]))
+        t = _spark_type(parts[2])
+        if t is None:
+            log.warning(
+                "skipping WIDEN with unknown type (reported, not applied): "
+                "%r", ddl,
+            )
+            return
+        table.alter_widen(parts[1], t)
     elif kind == "TRUNCATE" and unit in ("", "TABLE", "PARTITION"):
         # partition-level truncate (type 86) degrades to full truncate: the
         # lake target is not partition-aligned with the source's partitions
@@ -86,9 +100,43 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
 
 
 def _spark_type(name: str):
-    return {"string": StringType(), "bigint": LongType(), "long": LongType()}[
-        name.lower()
-    ]
+    """DDL type token -> Spark type, or None if unrecognized.
+
+    Covers the Spark SQL primitive vocabulary (the analog of the reference's
+    full Oracle type surface in its schema output,
+    /root/reference/src/OutputBufferJson.cpp:270-358). Unknown names return
+    None so _apply_ddl can log-and-skip — the reference likewise reports
+    schema it cannot handle instead of dying (OutputBuffer.cpp:1957-2007).
+    ``decimal(p,s)`` is parsed; bare ``decimal`` gets the SQL default (10,0).
+    """
+    import re
+
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, ByteType, DateType, DecimalType, DoubleType,
+        FloatType, IntegerType, ShortType, TimestampType,
+    )
+
+    n = name.lower()
+    simple = {
+        "string": StringType(), "varchar": StringType(), "char": StringType(),
+        "bigint": LongType(), "long": LongType(),
+        "int": IntegerType(), "integer": IntegerType(),
+        "smallint": ShortType(), "short": ShortType(),
+        "tinyint": ByteType(), "byte": ByteType(),
+        "double": DoubleType(), "float": FloatType(), "real": FloatType(),
+        "boolean": BooleanType(), "bool": BooleanType(),
+        "date": DateType(), "timestamp": TimestampType(),
+        "binary": BinaryType(), "decimal": DecimalType(10, 0),
+    }
+    if n in simple:
+        return simple[n]
+    m = re.fullmatch(r"(?:decimal|numeric)\((\d+)\s*,\s*(\d+)\)", n)
+    if m:
+        return DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"(?:varchar|char)\(\d+\)", n)
+    if m:
+        return StringType()
+    return None
 
 
 def apply_committed(
@@ -182,6 +230,24 @@ def _merge_slice(
     payload_cols = [
         f.name for f in table.schema().fields if f.name not in table.key_cols
     ]
+    # schema evolution may have added target columns the feed's after-struct
+    # has never carried (ADD COLUMN of a brand-new field): extend the struct
+    # with typed NULLs so net_changes' getField resolves. cols_set can never
+    # name them, so they stay unset — the merge null-fills, exactly Iceberg's
+    # read-time behavior for pre-evolution files.
+    after_fields = [f.name for f in part.schema["after"].dataType.fields]
+    missing = [
+        f for f in table.schema().fields
+        if f.name in payload_cols and f.name not in after_fields
+    ]
+    if missing:
+        part = part.withColumn(
+            "after",
+            F.struct(
+                *[F.col("after").getField(n).alias(n) for n in after_fields],
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            ),
+        )
     # single pass over `part`: fold the scn-range audit into the net-change
     # aggregation (one groupBy; the global range is a cheap second-stage agg
     # over the per-key rows), then persist — merge() runs two jobs over it
