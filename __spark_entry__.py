@@ -253,6 +253,42 @@ def _q_before_trim(spark, sf_dir):
     )
 
 
+def _q_json_stream(spark, sf_dir):
+    """O1 oracle check: serialize per-transaction JSON messages
+    (sinks/json_stream.py change_stream_messages — the reference's
+    "message":1 mode, OutputBuffer.cpp:891-953), then PARSE THE JSON TEXT
+    BACK and emit relational facts from it: op codes in (scn, seq) order,
+    the key sequence, and the text payload sequence. The DuckDB oracle
+    reconstructs the same facts from `surv` relationally — so a serializer
+    bug (wrong order, dropped op, mangled field) breaks the match."""
+    from openlogreplicator_spark.sinks.json_stream import change_stream_messages
+
+    ev = derive_feed(spark, sf_dir)
+    surv = assemble_transactions_sql(ev, _CFG)
+    msgs = change_stream_messages(surv, _CFG)
+    payload_schema = (
+        "scn bigint, xid string, payload array<struct<"
+        "op:string, key:struct<conv_id:string,turn_idx:bigint>, "
+        "after:struct<text:string>>>"
+    )
+    p = msgs.select(F.from_json("value", payload_schema).alias("m"))
+    pay = F.col("m.payload")
+    return p.select(
+        F.col("m.scn").alias("commit_scn"),
+        F.col("m.xid").alias("xid"),
+        F.size(pay).cast("long").alias("n_ops"),
+        F.concat_ws("", F.transform(pay, lambda o: o["op"])).alias("ops_codes"),
+        F.concat_ws(",", F.transform(
+            pay,
+            lambda o: F.concat_ws(":", o["key"]["conv_id"],
+                                  o["key"]["turn_idx"].cast("string")),
+        )).alias("keys_str"),
+        F.concat_ws("|", F.transform(
+            pay, lambda o: F.coalesce(o["after"]["text"], F.lit("")),
+        )).alias("texts"),
+    )
+
+
 def _q_multirow_unnest(spark, sf_dir):
     """D5 multi-row unnest analog: explode word arrays into per-word rows."""
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
@@ -316,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multi_table": _q_multi_table,
         "cdc_before_trim": _q_before_trim,
         "cdc_update_trim": _q_update_trim,
+        "cdc_json_stream": _q_json_stream,
         "cdc_multirow_unnest": _q_multirow_unnest,
         "agg_pricing_summary": _q_pricing_summary,
         "join_nation_orders": _q_nation_orders,
@@ -493,6 +530,17 @@ def oracle_sql() -> dict[str, str]:
                      LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
               FROM events
             ) WHERE prev IS NOT NULL
+        """,
+        "cdc_json_stream": FEED_SQL + """
+            SELECT commit_scn, xid,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   string_agg(CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u'
+                              ELSE 'd' END, '' ORDER BY scn, seq) AS ops_codes,
+                   string_agg(conv_id || ':' || CAST(turn_idx AS VARCHAR),
+                              ',' ORDER BY scn, seq) AS keys_str,
+                   string_agg(CASE WHEN op = 'D' THEN '' ELSE text_v END,
+                              '|' ORDER BY scn, seq) AS texts
+            FROM surv GROUP BY xid, commit_scn
         """,
         "cdc_multirow_unnest": """
             SELECT doc_id, word, COUNT(*) AS cnt FROM (

@@ -87,12 +87,25 @@ def change_stream_ops(
 def change_stream_messages(
     assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
     key_cols: "tuple[str, ...] | None" = None,
+    max_ops_per_message: int | None = None,
 ) -> DataFrame:
     """Per-transaction messages ("message":1 mode): one JSON document per
     committed transaction, ops in (scn, seq) insertion order
     (OutputBuffer.cpp:891-953 outputBufferBegin/Commit rotation).
 
-    Output: (commit_scn, xid, n_ops, value).
+    ``max_ops_per_message`` is the M1 big-transaction split
+    (Transaction.cpp:346-352 force-splits over max-message-mb): a
+    transaction with more ops than the budget is emitted as several
+    continuation messages in (scn, seq) order, each carrying
+    ``msg_seq``/``n_msgs`` in its header so consumers can reassemble —
+    the engine degrades gracefully where an unbounded document would OOM
+    the consumer. An op-count budget stands in for the reference's byte
+    budget: op payload size is bounded by the table's row width, so
+    bytes ~= ops x row_width and the knob translates directly.
+
+    Output: (commit_scn, xid, n_ops, value) — plus (msg_seq, n_msgs)
+    when a split budget is configured. No extra shuffle for the split:
+    the chunking is an array slice + explode on the already-grouped rows.
     """
     entry = _entry(assembled, cfg, owner, key_cols)
     per_tx = assembled.groupBy("xid", "commit_scn").agg(
@@ -100,13 +113,39 @@ def change_stream_messages(
             F.collect_list(F.struct(F.col("scn"), F.col("seq"), entry.alias("e")))
         ).alias("ops")
     )
+    if max_ops_per_message is None:
+        msg = F.struct(
+            F.col("commit_scn").alias("scn"),
+            F.col("xid").alias("xid"),
+            F.transform(F.col("ops"), lambda o: o["e"]).alias("payload"),
+        )
+        return per_tx.select(
+            "commit_scn", "xid", F.size("ops").alias("n_ops"),
+            F.to_json(msg, {"ignoreNullFields": "true"}).alias("value"),
+        )
+    if max_ops_per_message < 1:
+        raise ValueError("max_ops_per_message must be >= 1")
+    cap = int(max_ops_per_message)
+    n_msgs = F.ceil(F.size("ops") / F.lit(cap)).cast("int")
+    chunked = per_tx.select(
+        "xid", "commit_scn", n_msgs.alias("n_msgs"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_msgs - 1),
+                lambda i: F.slice(F.col("ops"), i * cap + 1, cap),
+            )
+        ).alias("msg_seq", "chunk"),
+    )
     msg = F.struct(
         F.col("commit_scn").alias("scn"),
         F.col("xid").alias("xid"),
-        F.transform(F.col("ops"), lambda o: o["e"]).alias("payload"),
+        F.col("msg_seq").alias("num"),
+        F.col("n_msgs").alias("num_total"),
+        F.transform(F.col("chunk"), lambda o: o["e"]).alias("payload"),
     )
-    return per_tx.select(
-        "commit_scn", "xid", F.size("ops").alias("n_ops"),
+    return chunked.select(
+        "commit_scn", "xid", F.size("chunk").alias("n_ops"),
+        "msg_seq", "n_msgs",
         F.to_json(msg, {"ignoreNullFields": "true"}).alias("value"),
     )
 

@@ -436,3 +436,41 @@ def test_change_stream_ops_and_file_sink(spark, tmp_path):
     assert len(lines) == msgs.count()
     parsed = [json.loads(l) for l in lines]
     assert sum(len(m["payload"]) for m in parsed) == n_events
+
+
+def test_change_stream_split_giant_transaction(spark):
+    """M1 for the sink (Transaction.cpp:346-352): a transaction over the
+    op budget is force-split into continuation messages in (scn, seq)
+    order, each header carrying num/num_total; reassembling the chunks
+    reproduces the unsplit message's payload exactly."""
+    from openlogreplicator_spark.sinks import change_stream_messages
+
+    assembled, cfg = _assembled_with_table(spark, n_txs=12)
+    whole = {
+        (r["xid"], r["commit_scn"]): json.loads(r["value"])
+        for r in change_stream_messages(assembled, cfg).collect()
+    }
+    cap = 3
+    split = change_stream_messages(
+        assembled, cfg, max_ops_per_message=cap
+    ).collect()
+    by_tx = {}
+    for r in split:
+        m = json.loads(r["value"])
+        assert r["n_ops"] == len(m["payload"]) <= cap
+        assert m["num"] == r["msg_seq"] and m["num_total"] == r["n_msgs"]
+        by_tx.setdefault((r["xid"], r["commit_scn"]), []).append(
+            (m["num"], m["num_total"], m["payload"])
+        )
+    assert set(by_tx) == set(whole)
+    for key, chunks in by_tx.items():
+        chunks.sort()
+        n_total = chunks[0][1]
+        assert [c[0] for c in chunks] == list(range(n_total))
+        reassembled = [op for _, _, pay in chunks for op in pay]
+        assert reassembled == whole[key]["payload"]
+        # a transaction larger than the cap really did split
+        if len(whole[key]["payload"]) > cap:
+            assert n_total > 1
+    assert any(len(m["payload"]) > cap for m in whole.values()), \
+        "fixture must contain at least one giant transaction"
