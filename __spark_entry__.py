@@ -641,6 +641,16 @@ def _q_dedup_embed_neardup(spark, sf_dir):
     )
 
 
+def _q_dedup_embed_lsh(spark, sf_dir):
+    """Sign-LSH candidate pairs — the 100 TB candidate-generation path the
+    exact verifier above (dedup_embed_neardup) is scoped to run on. The
+    hyperplanes are a deterministic +-1 pattern of (plane, dim), so the
+    banded self-join is reproducible in ANSI SQL bit-for-bit."""
+    return D.embedding_neardup_lsh_candidates(
+        _tbl(spark, sf_dir, "embeddings"), n_planes=16, band_bits=4
+    )
+
+
 def _q_text_token_count(spark, sf_dir):
     return T.token_count(_tbl(spark, sf_dir, "documents"))
 
@@ -675,6 +685,7 @@ _TRAINING_QUERIES = {
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_neardup": _q_dedup_simhash_neardup,
     "dedup_embed_neardup": _q_dedup_embed_neardup,
+    "dedup_embed_lsh": _q_dedup_embed_lsh,
     "ann_topk_dot": _q_ann_topk_dot,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_cosine_topk": _q_ann_cosine_topk,
@@ -918,6 +929,37 @@ _TRAINING_ORACLES = {
         )
         SELECT doc_a, doc_b, dot FROM p
         WHERE dot > 0 AND 10000*dot*dot >= 1600*n2a*n2b
+    """,
+    # sign-LSH: 16 deterministic +-1 hyperplanes over floor(x*1000) ints,
+    # sign bit per plane, 4 bands x 4 bits, banded self-join. The plane
+    # pattern is a pure function of (plane h, dim d): +1 iff
+    # ((h*31 + d*17) % 7) % 2 = 0 (dedup.py embedding_neardup_lsh_candidates)
+    "dedup_embed_lsh": """
+        WITH v AS (
+          SELECT vec_id AS vid,
+            list_transform(generate_series(1,64),
+              i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT))
+              AS qv
+          FROM embeddings
+        ), bits AS (
+          SELECT vid,
+            list_transform(generate_series(0,15), h ->
+              CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1,64),
+                  i -> qv[i] * (CASE WHEN ((h*31+(i-1)*17)%7)%2=0
+                                THEN 1 ELSE -1 END))),
+                (a,b)->a+b) >= 0
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bb
+          FROM v
+        ), banded AS (
+          SELECT vid, band,
+            bb[band*4+1]*8 + bb[band*4+2]*4 + bb[band*4+3]*2 + bb[band*4+4]
+              AS bv
+          FROM bits, (SELECT unnest(generate_series(0,3)) AS band)
+        )
+        SELECT DISTINCT a.vid AS doc_a, b.vid AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.vid < b.vid
     """,
     # bit-exact double cosine: Spark's F.aggregate and DuckDB's list_reduce
     # are both strict left folds in array-index order, and float32 -> double

@@ -50,11 +50,15 @@ class EngineConfig:
 
     # assembly implementation: 'pandas' (salted applyInPandas slim-verdict —
     # measured ~2x faster than the window form at single-node scale because
-    # windows drag wide rows through three sorts) or 'sql' (pure JVM window
+    # windows drag wide rows through three sorts), 'sql' (pure JVM window
     # functions — preferred at extreme scale where the verdict side outgrows
     # the broadcast threshold and the join degrades to an extra full-feed
-    # shuffle the SQL path never pays). Callers may still override per call.
-    assembly_mode: str = "pandas"
+    # shuffle the SQL path never pays), or 'auto' (default): pick per batch
+    # from the Catalyst size estimate of the slim verdict relation vs the
+    # session's autoBroadcastJoinThreshold — pandas while the verdict join
+    # stays a broadcast, sql once it would degrade to a full-feed shuffle.
+    # Callers may still override per call.
+    assembly_mode: str = "auto"
 
     # start-position modes — the reference resolves a start position by scn /
     # sequence / timestamp / NOW before tailing (OpenLogReplicator.cpp:661-704,
@@ -79,9 +83,9 @@ class EngineConfig:
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        if self.assembly_mode not in ("pandas", "sql"):
+        if self.assembly_mode not in ("pandas", "sql", "auto"):
             raise ValueError(
-                f"assembly_mode must be 'pandas' or 'sql', got "
+                f"assembly_mode must be 'pandas', 'sql' or 'auto', got "
                 f"{self.assembly_mode!r}"
             )
 

@@ -335,6 +335,7 @@ def embedding_neardup_lsh_candidates(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Sign-LSH candidate pairs for embedding near-dup — the scale path.
 
@@ -354,7 +355,15 @@ def embedding_neardup_lsh_candidates(
     v = emb.select(
         F.col(id_col).alias("vid"), _quantize(F.col(vec_col)).alias("qv")
     )
-    dims = 64  # driver corpus; parameterize via vec length at fit time
+    if dims is None:
+        # fit-time probe: one-row driver action to read the corpus vector
+        # length (analogous to fit_ivf_cells materializing centroids). The
+        # planes are a pure function of (plane, dim), so a caller at scale
+        # can also pass dims explicitly and skip the probe.
+        row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("cannot infer dims from an empty corpus")
+        dims = int(row["d"])
     # plane h, dim d sign: deterministic +-1 pattern
     planes = [
         F.array(*[

@@ -3,3 +3,7 @@ from openlogreplicator_spark.sinks.json_stream import (  # noqa: F401
     change_stream_ops,
     write_change_stream,
 )
+from openlogreplicator_spark.sinks.kafka import (  # noqa: F401
+    kafka_records,
+    produce,
+)

@@ -30,13 +30,23 @@ Semantics per xid (mirrors operators/assembly.py exactly):
 Scale notes: state is per-transaction and bounded by open-transaction size
 (OLR's memory governor bounds the same buffer); the shuffle key is xid, so
 skew equals transaction size, not conversation heat. The wide payload
-crosses the state boundary as one JSON string per event — state stores hold
-flat rows, and the payload re-expands JVM-side via from_json after emission.
+crosses the state boundary as one JSON string per event, held in PARALLEL
+FLAT ARRAYS in the state row (round-3): the payload string is serialized
+once JVM-side (to_json) and stored verbatim — the round-2 form wrapped
+each buffered row in an outer ``json.dumps``, re-escaping every quote of
+the payload JSON and re-serializing the whole buffer in Python per batch
+(2x state bytes on quote-heavy payloads, O(buffer) Python work per
+microbatch even when nothing changed). The true keys-only slim-verdict
+form (state = (scn, seq, op), payload re-joined after emission like the
+batch assembler) needs a persistent payload store because emitted rows may
+predate the current microbatch; the feed's own immutable files are that
+store, but a stream-static re-join would rescan the feed history each
+batch without a dynamic scn lower bound — a worse trade than carrying the
+payload. Documented here so the 100x deployment can revisit with an
+scn-bucketed feed layout.
 """
 
 from __future__ import annotations
-
-import json
 
 import numpy as np
 import pandas as pd
@@ -64,7 +74,11 @@ OUT_SCHEMA = (
     "xid string, scn long, seq long, op string, conv_id string, "
     "turn_idx long, payload string, commit_scn long"
 )
-_STATE_SCHEMA = "rows array<string>, has_begin boolean"
+_STATE_SCHEMA = (
+    "scns array<long>, seqs array<long>, ops array<string>, "
+    "convs array<string>, turns array<long>, payloads array<string>, "
+    "has_begin boolean"
+)
 
 # MI/MD buffer as ONE entry each (whole-vector partial-rollback unit);
 # they unnest after emission (operators/decode.py unnest_multirow)
@@ -99,8 +113,8 @@ def make_assembler(cfg: EngineConfig):
     def assemble(key, pdfs, state: GroupState):
         xid = key[0]
         if state.exists:
-            st_rows, has_begin = state.get
-            buf = [json.loads(r) for r in st_rows]
+            scns, seqs, ops, convs, turns, payloads, has_begin = state.get
+            buf = [list(r) for r in zip(scns, seqs, ops, convs, turns, payloads)]
         else:
             buf, has_begin = [], False
 
@@ -131,7 +145,12 @@ def make_assembler(cfg: EngineConfig):
                     ])
 
         if buf or has_begin:
-            state.update(([json.dumps(r) for r in sorted(buf)], has_begin))
+            b = sorted(buf)
+            state.update((
+                [r[0] for r in b], [r[1] for r in b], [r[2] for r in b],
+                [r[3] for r in b], [r[4] for r in b], [r[5] for r in b],
+                has_begin,
+            ))
         elif state.exists:
             state.remove()
         if not emitted:

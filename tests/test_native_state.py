@@ -104,8 +104,8 @@ def test_kernel_rollback_then_open_tx_same_batch():
     ])
     assert len(emitted) == 0
     assert st.exists
-    rows, has_begin = st.get
-    assert has_begin and len(rows) == 1
+    *arrays, has_begin = st.get  # parallel flat arrays (round-3 slim state)
+    assert has_begin and len(arrays[0]) == 1
     # the follow-up commit in the next batch emits the surviving I@4
     emitted2, st2 = _run_kernel([("x1", 5, 2, "C", None, None, None)], st)
     assert sorted(emitted2["scn"]) == [4] and not st2.exists
