@@ -289,6 +289,45 @@ def _q_json_stream(spark, sf_dir):
     )
 
 
+def _q_scd2(spark, sf_dir):
+    """SCD Type-2 history: every committed I/U becomes a version row with
+    the key's full reconstructed state and a [valid_from, valid_to) ordinal
+    range; deletes close versions; values never leak across a delete
+    (operators/scd2.py). The oracle rebuilds the same history with window
+    functions over `surv`."""
+    from openlogreplicator_spark.operators.scd2 import scd2_history
+
+    ev = derive_feed(spark, sf_dir)
+    surv = assemble_transactions_sql(ev, _CFG)
+    hist = scd2_history(
+        surv, ["conv_id", "turn_idx"], ["role", "text", "ts"],
+        ord_expr=F.col("commit_scn") * F.lit(_ORD) + F.col("scn"),
+    )
+    return hist.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("ts_str"),
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def _q_conv_rollup(spark, sf_dir):
+    """Transcripts payload rollup: reconstruct whole conversations (ordered
+    turn sequence -> one row per conv_id) from the replayed per-turn state
+    (functions/transcripts.py) — the inverse of the CDC decomposition."""
+    from openlogreplicator_spark.functions.transcripts import (
+        reconstruct_conversations,
+    )
+
+    ev = derive_feed(spark, sf_dir)
+    assembled = assemble_transactions_sql(ev, _CFG)
+    nc = net_changes(assembled, ["conv_id", "turn_idx"], ["role", "text", "ts"])
+    state = nc.where(F.col("op") != "D").select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    return reconstruct_conversations(state, sep="|")
+
+
 def _q_multirow_unnest(spark, sf_dir):
     """D5 multi-row unnest analog: explode word arrays into per-word rows."""
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
@@ -354,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_trim": _q_update_trim,
         "cdc_json_stream": _q_json_stream,
         "cdc_multirow_unnest": _q_multirow_unnest,
+        "cdc_scd2": _q_scd2,
+        "cdc_conv_rollup": _q_conv_rollup,
         "agg_pricing_summary": _q_pricing_summary,
         "join_nation_orders": _q_nation_orders,
         "window_top_orders": _q_top_orders,
@@ -491,6 +532,78 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+# SCD2 version history: every surviving I/U is a version row carrying the
+# key's carried state (per-epoch last-set per column — update trim carries
+# values forward, a delete ends the epoch so nothing leaks across it), with
+# [valid_from, valid_to) ordinal ranges (valid_to = next event of ANY op).
+_SCD2_SQL = FEED_SQL + f""",
+acts AS (
+  SELECT conv_id, turn_idx, op,
+         commit_scn * {_ORD} + scn AS ord,
+         CASE WHEN op IN ('I','U') AND NOT trimmed THEN event_type END AS role_v,
+         CASE WHEN op IN ('I','U') THEN text_v END AS set_text_v,
+         CASE WHEN op IN ('I','U') AND NOT trimmed
+              THEN strftime(src_ts, '%Y-%m-%d %H:%M:%S.%f') END AS ts_v
+  FROM surv
+), e AS (
+  SELECT *,
+    COUNT(CASE WHEN op = 'D' THEN 1 END) OVER
+      (PARTITION BY conv_id, turn_idx ORDER BY ord
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS epoch,
+    LEAD(ord) OVER (PARTITION BY conv_id, turn_idx ORDER BY ord) AS valid_to
+  FROM acts
+), st AS (
+  SELECT conv_id, turn_idx, op, ord, valid_to,
+    last_value(role_v IGNORE NULLS) OVER wep AS role,
+    last_value(set_text_v IGNORE NULLS) OVER wep AS text,
+    last_value(ts_v IGNORE NULLS) OVER wep AS ts_str
+  FROM e
+  WINDOW wep AS (PARTITION BY conv_id, turn_idx, epoch ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx, role, text, ts_str,
+       ord AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+FROM st WHERE op <> 'D'
+"""
+
+# conversation rollup over the final state (same state CTEs as
+# _FINAL_STATE_SQL, then an ordered string_agg per conversation)
+_CONV_ROLLUP_SQL = FEED_SQL + f""",
+acts AS (
+  SELECT conv_id, turn_idx, op,
+         commit_scn * {_ORD} + scn AS ord,
+         CASE WHEN NOT trimmed THEN event_type END AS role_v,
+         text_v,
+         NOT trimmed AS sets_role,
+         op IN ('I','U') AS sets_text
+  FROM surv
+), per_key AS (
+  SELECT conv_id, turn_idx,
+    COALESCE(MAX(CASE WHEN op = 'D' THEN ord END), -1) AS del_ord,
+    MAX(CASE WHEN op <> 'D' THEN ord END) AS w_ord,
+    arg_max(role_v, CASE WHEN op <> 'D' AND sets_role AND role_v IS NOT NULL
+                         THEN ord END) AS role_last,
+    MAX(CASE WHEN op <> 'D' AND sets_role THEN ord END) AS role_ord,
+    arg_max(text_v, CASE WHEN op <> 'D' AND sets_text THEN ord END) AS text_last,
+    MAX(CASE WHEN op <> 'D' AND sets_text THEN ord END) AS text_ord
+  FROM acts
+  GROUP BY conv_id, turn_idx
+), state AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN role_ord > del_ord THEN role_last END AS role,
+    CASE WHEN text_ord > del_ord THEN text_last END AS text
+  FROM per_key
+  WHERE w_ord IS NOT NULL AND w_ord > del_ord
+)
+SELECT conv_id, COUNT(*) AS n_turns,
+  MIN(turn_idx) AS first_turn, MAX(turn_idx) AS last_turn,
+  string_agg(COALESCE(role, ''), ',' ORDER BY turn_idx) AS roles,
+  string_agg(COALESCE(text, ''), '|' ORDER BY turn_idx) AS full_text,
+  CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS n_chars
+FROM state GROUP BY conv_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_feed_audit": FEED_SQL + """
@@ -542,6 +655,8 @@ def oracle_sql() -> dict[str, str]:
                               '|' ORDER BY scn, seq) AS texts
             FROM surv GROUP BY xid, commit_scn
         """,
+        "cdc_scd2": _SCD2_SQL,
+        "cdc_conv_rollup": _CONV_ROLLUP_SQL,
         "cdc_multirow_unnest": """
             SELECT doc_id, word, COUNT(*) AS cnt FROM (
               SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
@@ -582,6 +697,8 @@ from openlogreplicator_spark.functions import dedup as D
 from openlogreplicator_spark.functions import similarity as S
 from openlogreplicator_spark.functions import textstats as T
 from openlogreplicator_spark.functions import multimodal as M
+from openlogreplicator_spark.functions import sampling as SA
+from openlogreplicator_spark.functions import temporal as TP
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -677,6 +794,83 @@ def _q_multimodal_meta(spark, sf_dir):
     return M.extract_media_meta(media)
 
 
+def _q_dedup_cluster(spark, sf_dir):
+    """Connected components over the SimHash near-dup pairs -> duplicate
+    clusters (cluster_id = component min doc id). Hash-min label
+    propagation, one shuffle per round, rounds = component diameter; oracle
+    is a recursive-CTE reachability walk over the same pair set."""
+    pairs = D.simhash_neardup_pairs(
+        _tbl(spark, sf_dir, "documents"), bits=32, radius=3, bands=4
+    )
+    return D.neardup_clusters(pairs)
+
+
+def _q_evt_asof_join(spark, sf_dir):
+    """Backward as-of join (union + window, ONE shuffle — never a range
+    join): each click event picks the latest same-user view event at or
+    before it. Right side pre-aggregated per (user, ts) so ties are
+    deterministic; DuckDB's native ASOF LEFT JOIN is the oracle."""
+    ev = _tbl(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = TP.asof_join(left, right, key="user_id", ts="ts")
+    return out.select("event_id", "user_id", "view_value")
+
+
+def _q_evt_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) rolled up per session. The gap
+    comparison runs in integer microseconds so the oracle is bit-exact."""
+    return TP.session_stats(
+        _tbl(spark, sf_dir, "events"), key="user_id", ts="ts",
+        gap_seconds=1800,
+    )
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic 10-per-language sample: smallest id_hash per stratum.
+    Reproducible across runs/engines, WindowGroupLimit keeps only k rows
+    per partition."""
+    return SA.stratified_sample(
+        _tbl(spark, sf_dir, "documents"), stratum_col="lang", k=10
+    ).select("doc_id", "lang", "sample_rank")
+
+
+def _q_dedup_incremental(spark, sf_dir):
+    """CDC-incremental near-dup: only pairs touching the new batch (odd
+    doc_ids as the delta, even as the already-deduped corpus) — cost scales
+    with the batch, not the corpus. Oracle: all-pairs filtered to pairs
+    with at least one delta side."""
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    return D.simhash_neardup_incremental(
+        corpus, delta, bits=32, radius=3, bands=4
+    )
+
+
+def _q_pack_chunks(spark, sf_dir):
+    """Deterministic token-budget sharding: docs -> ~2000-token chunks per
+    language by running token count (functions/packing.py)."""
+    from openlogreplicator_spark.functions import packing as PK
+
+    return PK.token_chunk_assign(
+        _tbl(spark, sf_dir, "documents"), capacity_tokens=2000
+    )
+
+
+def _q_sample_fraction(spark, sf_dir):
+    """Deterministic ~20% hash sample — map-only, no shuffle."""
+    return SA.hash_fraction_sample(
+        _tbl(spark, sf_dir, "documents"), fraction_pct=20
+    ).select("doc_id", "lang")
+
+
 _TRAINING_QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -695,6 +889,13 @@ _TRAINING_QUERIES = {
     "doc_fingerprint": _q_doc_fingerprint,
     "winnow_fp": _q_winnow_fp,
     "multimodal_meta": _q_multimodal_meta,
+    "dedup_cluster": _q_dedup_cluster,
+    "evt_asof_join": _q_evt_asof_join,
+    "evt_sessionize": _q_evt_sessionize,
+    "sample_stratified": _q_sample_stratified,
+    "sample_fraction": _q_sample_fraction,
+    "dedup_incremental": _q_dedup_incremental,
+    "pack_chunks": _q_pack_chunks,
 }
 
 # ---- oracle SQL for the training-data ops (portable-hash mirrors) ----
@@ -831,6 +1032,57 @@ _TRAINING_ORACLES = {
         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
+    # incremental near-dup = the same all-pairs set restricted to pairs
+    # with at least one side in the delta (odd doc_ids)
+    "dedup_incremental": _DOCS_SQL + _SIMHASH_BODY + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+    """,
+    "pack_chunks": r"""
+        WITH norm AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+          FROM norm
+        ), c AS (
+          SELECT *,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_before
+          FROM tok
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(cum_before // 2000 AS BIGINT) AS chunk_id,
+               CAST(cum_before % 2000 AS BIGINT) AS chunk_offset
+        FROM c
+    """,
+    # connected components over the same near-dup pair set: recursive
+    # reachability walk carries every label to every node it can reach,
+    # then min per node = the component's min id (what hash-min label
+    # propagation converges to)
+    "dedup_cluster": (_DOCS_SQL + _SIMHASH_BODY + """
+        , prs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION
+          SELECT doc_b, doc_a FROM prs
+        ), walk(node, label) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+        )
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    """).replace("WITH norm", "WITH RECURSIVE norm", 1),
     "ann_topk_dot": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                    FROM embeddings WHERE vec_id < 5),
@@ -1032,5 +1284,61 @@ _TRAINING_ORACLES = {
           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
           CAST(octet_length(encode(text)) % 480 AS INT) AS height
         FROM documents
+    """,
+    # DuckDB's native ASOF LEFT JOIN checks our union+window implementation
+    "evt_asof_join": """
+        WITH l AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ), r AS (
+          SELECT user_id, ts, MAX(value) AS view_value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts
+        )
+        SELECT l.event_id, l.user_id, r.view_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    # gap sessionization in integer microseconds (epoch_us both sides)
+    "evt_sessionize": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+            LAG(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ), marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM o
+        ), sess AS (
+          SELECT user_id, ts,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+              AS session_idx
+          FROM marked
+        )
+        SELECT user_id, session_idx,
+          COUNT(*) AS n_events,
+          MIN(ts) AS session_start,
+          MAX(ts) AS session_end,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+        FROM sess GROUP BY user_id, session_idx
+    """,
+    # deterministic top-k per stratum by (id*2654435761 + 7) % 1000000007
+    "sample_stratified": """
+        SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank FROM (
+          SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY (doc_id * 2654435761 + 7) % 1000000007, doc_id)
+              AS sample_rank
+          FROM documents
+        ) WHERE sample_rank <= 10
+    """,
+    "sample_fraction": """
+        SELECT doc_id, lang FROM documents
+        WHERE ((doc_id * 2654435761 + 7) % 1000000007) * 100
+              < 20 * CAST(1000000007 AS BIGINT)
     """,
 }

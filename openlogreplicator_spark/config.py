@@ -72,6 +72,15 @@ class EngineConfig:
     start_seq: int | None = None
     start_ts: str | None = None  # ISO 'YYYY-MM-DD HH:MM:SS' (feed ts column)
 
+    # 'NOW' / relative-time start modes (OracleAnalyzerOnline.cpp:513-626:
+    # the reference resolves NOW -> the database's current scn and
+    # start-time-rel -> now minus N seconds, ONCE, before tailing). Here
+    # resolve_start_position (operators/decode.py) maps them onto the feed's
+    # own max scn / max ts in one bounded driver action before the first
+    # batch; the result is an ordinary pushed-down start_scn / start_ts.
+    start_now: bool = False
+    start_relative_s: int | None = None
+
     # checkpoint cadence analog (Writer.cpp:325-354) — streaming trigger seconds.
     trigger_seconds: float = 1.0
 

@@ -391,3 +391,146 @@ def embedding_neardup_lsh_candidates(
         .select(F.col("a.vid").alias("doc_a"), F.col("b.vid").alias("doc_b"))
         .distinct()
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup candidate pairs -> duplicate
+    clusters: every doc that appears in a pair gets the component's MIN
+    doc id as ``cluster_id`` (the canonical keeper in a dedup pipeline is
+    then ``doc_id == cluster_id``).
+
+    Algorithm: hash-min label propagation. Labels start as the node's own
+    id; each round every node takes the min of its own and its neighbors'
+    labels; converged when no label changed. Rounds = graph diameter
+    (near-dup components are dense and shallow, so typically <=3-4 rounds);
+    the large-star/small-star variant (which contracts diameter
+    logarithmically) is the drop-in upgrade if a corpus ever produces long
+    chains. Each round is ONE shuffle (join + groupBy on the same key —
+    AQE coalesces), the per-round convergence check is a bounded count()
+    action, and labels persist round-to-round to cut lineage growth.
+
+    Input: (doc_a, doc_b) pairs from any candidate generator
+    (simhash_neardup_pairs, lsh_candidate_pairs, sign-LSH). Output:
+    (doc_id, cluster_id), one row per distinct doc in ``pairs``.
+
+    Lineage: each round MUST truncate the plan, not just cache the data —
+    ``persist`` alone leaves a logical plan that references the previous
+    round's labels twice, doubling the tree per round (exponential plan =
+    driver OOM long before any executor struggles). ``localCheckpoint``
+    (eager) cuts it; a cluster deployment would use reliable
+    ``checkpoint()`` for executor-loss tolerance.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()  # candidate generation runs ONCE, not per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        old = labels.withColumnRenamed("label", "old_label")
+        new = (
+            old.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("old_label"),
+                    F.coalesce(F.col("nbr_min"), F.col("old_label")),
+                ).alias("label"),
+                F.col("old_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.where(F.col("label") < F.col("old_label")).count()
+        labels = new.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def simhash_neardup_incremental(
+    corpus: DataFrame,
+    delta: DataFrame,
+    bits: int = 32,
+    radius: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_portable_hash: bool = True,
+) -> DataFrame:
+    """CDC-incremental near-dup: pairs involving AT LEAST ONE new document.
+
+    The ingest-time composition: when a CDC batch lands ``delta`` new
+    documents into a corpus already deduplicated, re-running the full
+    self-join repays O(|corpus| x bands) shuffle for pairs that cannot have
+    changed. This variant joins only delta's band rows against the union's
+    band rows, so cost scales with the BATCH, not the corpus:
+    shuffle ~ |delta| x bands probe rows against a bucketed build side (AQE
+    broadcasts the delta side when it fits). In production the corpus band
+    table is the persisted signature index the engine maintains as a side
+    table of the lake MERGE (same bucketed layout, reference analog: OLR's
+    consumers keep their own derived indexes downstream); here it is
+    recomputed because the driver tables are read-only parquet.
+
+    Completeness: identical pigeonhole argument to simhash_neardup_pairs
+    (radius < bands), restricted to pairs touching delta — old x old pairs
+    are by construction already known.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, at least one side new.
+    """
+    if radius >= bands:
+        raise ValueError("completeness requires radius < bands")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def _banded(docs: DataFrame) -> DataFrame:
+        sig = simhash(docs, bits, id_col, text_col, use_portable_hash)
+        return sig.select(
+            F.col(id_col), F.col("simhash"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask)).alias("bv"),
+                )
+                for b in range(bands)
+            ])).alias("p"),
+        ).select(F.col(id_col), F.col("simhash"),
+                 F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+
+    new_b = _banded(delta)
+    all_b = _banded(corpus).unionByName(new_b)
+    n, a = new_b.alias("n"), all_b.alias("a")
+    cand = (
+        n.join(a, (F.col("n.band") == F.col("a.band"))
+               & (F.col("n.bv") == F.col("a.bv")))
+        .where(F.col(f"n.{id_col}") != F.col(f"a.{id_col}"))
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
+            F.bit_count(
+                F.col("n.simhash").bitwiseXOR(F.col("a.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+    )
+    # a pair collides in several bands, and a delta x delta pair is found
+    # from both ends — canonical (doc_a < doc_b) + distinct emits it once
+    return cand.distinct()

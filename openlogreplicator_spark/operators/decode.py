@@ -63,12 +63,58 @@ def _normalize_text_jvm(c):
     )
 
 
+def resolve_start_position(events: DataFrame, cfg: EngineConfig):
+    """Resolve the NOW / relative-time start modes to concrete pushed-down
+    predicates — ONCE, before the first batch (the reference resolves NOW to
+    the current database scn and start-time-rel to now-minus-N before it
+    starts tailing, OracleAnalyzerOnline.cpp:513-626). Returns a new config
+    with start_scn / start_ts filled in; a no-op if neither mode is set.
+
+    ``events`` must be a STATIC view of the feed (one bounded one-row agg on
+    the driver). Resolving inside foreachBatch would re-resolve per
+    microbatch against that batch alone — wrong, and apply_start_position
+    raises if handed unresolved modes on a streaming frame.
+    """
+    from dataclasses import replace as _replace
+
+    if not cfg.start_now and cfg.start_relative_s is None:
+        return cfg
+    row = events.select(
+        F.max("scn").alias("mx_scn"), F.max("ts").alias("mx_ts")
+    ).first()
+    out = _replace(cfg, start_now=False, start_relative_s=None)
+    if cfg.start_now and row is not None and row["mx_scn"] is not None:
+        # NOW = only events strictly after the feed's current end
+        resolved = int(row["mx_scn"]) + 1
+        out = _replace(out, start_scn=max(out.start_scn or 0, resolved))
+    if (cfg.start_relative_s is not None and row is not None
+            and row["mx_ts"] is not None):
+        import datetime as _dt
+
+        ts = row["mx_ts"] - _dt.timedelta(seconds=int(cfg.start_relative_s))
+        resolved_ts = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+        # intersection semantics: keep the LATER of an explicit start_ts and
+        # the relative resolution (both predicates must hold)
+        cand = [t for t in (out.start_ts, resolved_ts) if t]
+        out = _replace(out, start_ts=max(cand))
+    return out
+
+
 def apply_start_position(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Start-position predicate (reference start modes: scn / sequence /
     timestamp / NOW — OpenLogReplicator.cpp:661-704,
     OracleAnalyzerOnline.cpp:513-626). Plain column predicates so Catalyst
     pushes them into the parquet scan (PushedFilters) — the feed files below
-    the start position are never read at scale."""
+    the start position are never read at scale. NOW / relative modes are
+    resolved here for a static frame; streaming callers must
+    resolve_start_position against the static feed first."""
+    if cfg.start_now or cfg.start_relative_s is not None:
+        if events.isStreaming:
+            raise ValueError(
+                "start_now / start_relative_s must be resolved against the "
+                "static feed before streaming (resolve_start_position)"
+            )
+        cfg = resolve_start_position(events, cfg)
     if cfg.start_scn is not None:
         events = events.where(F.col("scn") >= F.lit(int(cfg.start_scn)))
     if cfg.start_seq is not None:

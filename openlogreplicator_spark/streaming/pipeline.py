@@ -244,6 +244,17 @@ class CDCStreamPipeline:
         if getattr(self, "_listener", None) is None:
             self._listener = _metrics.attach(spark, self.state_dir)
             self._listener_spark = spark
+        # NOW / relative-time start modes resolve ONCE against a static view
+        # of the feed before the stream opens (reference: the online analyzer
+        # resolves its start position before tailing) — inside foreachBatch
+        # the resolution would see only that batch
+        if self.cfg.start_now or self.cfg.start_relative_s is not None:
+            from openlogreplicator_spark.operators.decode import (
+                resolve_start_position,
+            )
+
+            static = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed_dir)
+            self.cfg = resolve_start_position(static, self.cfg)
         src = (
             spark.readStream.schema(CHANGE_EVENT_SCHEMA)
             .option("maxFilesPerTrigger", self.cfg.maxFilesPerTrigger)

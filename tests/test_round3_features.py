@@ -296,3 +296,89 @@ def test_assembly_auto_replay_matches_oracle(spark, tmp_path):
     got = _final_state(table, spark)
     got = got[[c for c in got.columns if c in oracle.columns]]
     _assert_eq(got, oracle[got.columns.tolist()])
+
+
+# ----------------------------------------------- NOW / relative start modes
+
+def test_start_now_resolves_past_feed_end(spark):
+    """start_now resolves to feed-max-scn + 1 once (reference NOW start):
+    the entire existing feed is excluded; a later event is included."""
+    from openlogreplicator_spark.operators.decode import (
+        apply_start_position,
+        resolve_start_position,
+    )
+
+    events = generate_change_events(spark, n_txs=50, n_convs=10, seed=83)
+    mx = events.agg(F.max("scn")).collect()[0][0]
+    cfg = resolve_start_position(events, EngineConfig(start_now=True))
+    assert cfg.start_now is False and cfg.start_scn == mx + 1
+    assert apply_start_position(events, cfg).count() == 0
+    # a "future" event (scn past the resolution point) passes the predicate
+    future = events.withColumn("scn", F.col("scn") + F.lit(mx + 1))
+    assert apply_start_position(future, cfg).count() == events.count()
+    # batch path resolves inline too (static frame)
+    assert apply_start_position(
+        events, EngineConfig(start_now=True)
+    ).count() == 0
+
+
+def test_start_relative_time_resolves_window(spark):
+    """start_relative_s keeps only the trailing N seconds of the feed
+    (reference start-time-rel), and intersects with an explicit start_ts."""
+    from openlogreplicator_spark.operators.decode import (
+        apply_start_position,
+        resolve_start_position,
+    )
+
+    events = generate_change_events(spark, n_txs=100, n_convs=10, seed=89)
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo).total_seconds()
+    assert span > 2, "fixture needs a multi-second ts span"
+    cfg = resolve_start_position(
+        events, EngineConfig(start_relative_s=int(span // 2))
+    )
+    assert cfg.start_relative_s is None and cfg.start_ts is not None
+    kept = apply_start_position(events, cfg).count()
+    assert 0 < kept < events.count()
+    # an explicit later start_ts wins over a looser relative window
+    cfg2 = resolve_start_position(
+        events,
+        EngineConfig(start_relative_s=int(span * 10), start_ts=cfg.start_ts),
+    )
+    assert cfg2.start_ts == cfg.start_ts
+    assert apply_start_position(events, cfg2).count() == kept
+
+
+def test_start_now_streaming_resolves_once(spark, tmp_path):
+    """A stream opened with start_now skips the pre-existing feed files and
+    applies only later events (resolution happens at stream setup, not per
+    microbatch)."""
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4, start_now=True)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    pre = generate_change_events(spark, n_txs=60, n_convs=8, seed=97)
+    pre.coalesce(1).write.mode("append").parquet(feed_dir)
+    mx = pre.agg(F.max("scn")).collect()[0][0]
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"))
+    # later events: same feed shifted past the resolution point
+    post = pre.withColumn("scn", F.col("scn") + F.lit(mx + 1))
+    post_pdf = post.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    oracle = sequential_oracle(post_pdf).drop(columns=["meta"])
+
+    q = pipe.run_stream(spark, feed_dir, str(tmp_path / "ckpt"),
+                        available_now=True)
+    q.awaitTermination(120)
+    # resolution happened once at setup: config now carries the concrete scn
+    assert pipe.cfg.start_now is False and pipe.cfg.start_scn == mx + 1
+    assert table.read(spark).count() == 0, "pre-existing feed skipped"
+
+    post.coalesce(1).write.mode("append").parquet(feed_dir)
+    q2 = pipe.run_stream(spark, feed_dir, str(tmp_path / "ckpt"),
+                         available_now=True)
+    q2.awaitTermination(120)
+    pipe.detach_metrics()
+    _assert_eq(_final_state(table, spark), oracle)
