@@ -53,6 +53,8 @@ def main(argv: list[str]) -> None:
     p.add_argument("--start-ts")
     # W1/W2 analog: serialize committed transactions as JSON messages
     p.add_argument("--change-stream-dir")
+    # SCD2 side-output: maintain a version-history lake table per batch
+    p.add_argument("--history-dir")
     # table maintenance: expire superseded CoW snapshots after the run
     p.add_argument("--expire-keep", type=int)
     args = p.parse_args(argv)
@@ -101,15 +103,30 @@ def main(argv: list[str]) -> None:
             if LakeTable.exists(args.target)
             else bootstrap_target(args.target, cfg)
         )
+        history = None
+        if args.history_dir:
+            from openlogreplicator_spark.plans.scd2_apply import (
+                bootstrap_scd2_target,
+            )
+
+            history = (
+                LakeTable(args.history_dir)
+                if LakeTable.exists(args.history_dir)
+                else bootstrap_scd2_target(args.history_dir, cfg)
+            )
         pipe = CDCStreamPipeline(
             table, cfg, args.state_dir,
             change_stream_dir=args.change_stream_dir,
+            history_table=history,
         )
         q = pipe.run_stream(
             spark, args.feed_dir, args.checkpoint, available_now=True
         )
         q.awaitTermination()
         print("ROWS", table.read(spark).count())
+        if history is not None:
+            print("HISTORY_VERSIONS", history.read(spark).count(),
+                  "OPEN", history.read(spark).where("is_current").count())
         pipe.read_lineage(spark).orderBy("batch_id", "partition_id").show(50, False)
 
     spark.stop()

@@ -1,0 +1,161 @@
+"""Incremental SCD2 maintenance: keep a version-history lake table current
+batch-by-batch, instead of recomputing `operators/scd2.py` over all history.
+
+The reference streams each committed transaction exactly once in commit
+order (RedoLog.cpp:751-762); a downstream history table therefore only ever
+(a) CLOSES the open version of keys the batch touches and (b) APPENDS that
+batch's new versions — closed history is immutable. This plan exploits
+that: per batch it reads ONLY the open versions of touched keys, seeds the
+batch-local SCD2 computation with them, and MERGEs the result keyed by
+(key..., valid_from) — the close of an old version is a PARTIAL update
+(cols_set = [valid_to, is_current]) that rides the engine's own
+update-trim machinery, so the closed version's payload columns are never
+rewritten.
+
+Equivalence invariant (pinned by tests/test_scd2_apply.py): applying a feed
+in any batch split yields a history table identical to one-shot
+``scd2_history`` over the whole feed. It holds because the seed
+pseudo-event replays the open version's full state at its original ordinal
+(carry-forward across the batch boundary), and a delete in an earlier
+batch leaves no open version — so the next batch starts the fresh epoch
+exactly like the global computation does.
+
+Requires: ordinals monotone across batches (commit_scn-major ordering —
+guaranteed by commit-ordered flush, G3). A batch with a lower ordinal than
+an already-closed version would interleave history and must be replayed
+through the bounded path instead.
+
+Scale: per batch the work is O(batch) — the history scan is pruned to
+``is_current`` (a partition-able predicate; at 100x the history table
+would partition by is_current or maintain the open set as a separate
+bucketed table so the seed read never touches closed-version files), the
+seed join is a left-semi against the batch's distinct keys (broadcast at
+typical batch sizes), and the MERGE prunes to touched buckets as always.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from openlogreplicator_spark.config import EngineConfig
+from openlogreplicator_spark.lake import LakeTable
+from openlogreplicator_spark.operators.scd2 import scd2_history
+
+
+def bootstrap_scd2_target(
+    path: str,
+    cfg: EngineConfig,
+    payload_schema: StructType | None = None,
+) -> LakeTable:
+    """Create the history table: payload columns + (valid_from, valid_to,
+    is_current), keyed by (key..., valid_from) — each version is a row."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, TimestampType,
+    )
+
+    if payload_schema is None:
+        payload_schema = StructType([
+            StructField("role", StringType(), True),
+            StructField("text", StringType(), True),
+            StructField("ts", TimestampType(), True),
+        ])
+    fields = (
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", LongType(), False),
+            StructField("valid_from", LongType(), False),
+        ]
+        + list(payload_schema.fields)
+        + [
+            StructField("valid_to", LongType(), True),
+            StructField("is_current", BooleanType(), True),
+        ]
+    )
+    return LakeTable.create(
+        path,
+        StructType(fields),
+        ["conv_id", "turn_idx", "valid_from"],
+        num_buckets=cfg.num_buckets,
+    )
+
+
+def apply_scd2_batch(
+    spark: SparkSession,
+    assembled: DataFrame,
+    history: LakeTable,
+    cfg: EngineConfig,
+    batch_id: int,
+    payload_cols: tuple[str, ...] = ("role", "text", "ts"),
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ord_expr: Column | None = None,
+) -> dict:
+    """Apply one assembled batch to the SCD2 history table (see module doc).
+
+    ``assembled``: the assemble_transactions output (op/after/cols_set/scn/
+    commit_scn). Returns the MERGE summary (idempotent: a retried batch_id
+    is skipped by the snapshot write-audit).
+    """
+    kc = list(key_cols)
+    o = (
+        ord_expr
+        if ord_expr is not None
+        else (F.col("commit_scn") * F.lit(1 << 22) + F.col("scn"))
+    )
+    ev = assembled.withColumn("_ord0", o.cast("long"))
+
+    # open versions of keys this batch touches (left-semi: no payload dup)
+    keys = ev.select(*kc).distinct()
+    open_v = (
+        history.read(spark)
+        .where(F.col("is_current"))
+        .join(keys, kc, "left_semi")
+    )
+
+    # seed pseudo-events: replay each open version's full state at its
+    # original ordinal, so batch-local carry-forward starts from it
+    seed = open_v.select(
+        *[F.col(k) for k in kc],
+        F.lit("I").alias("op"),
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("after"),
+        F.array(*[F.lit(c) for c in payload_cols]).alias("cols_set"),
+        F.col("valid_from").alias("_ord0"),
+    )
+    unified = seed.unionByName(
+        ev.select(
+            *kc, "op",
+            F.struct(
+                *[F.col("after").getField(c).alias(c) for c in payload_cols]
+            ).alias("after"),
+            "cols_set", "_ord0",
+        )
+    )
+    hist_out = scd2_history(
+        unified, kc, list(payload_cols), ord_expr=F.col("_ord0")
+    )
+
+    # rows re-emitting a seeded (already-stored) version only close it:
+    # partial update of (valid_to, is_current); new versions set everything
+    seeded = open_v.select(
+        *kc, "valid_from", F.lit(True).alias("_seeded")
+    )
+    upd = hist_out.join(seeded, kc + ["valid_from"], "left").select(
+        *kc,
+        "valid_from",
+        *[F.col(c) for c in payload_cols],
+        "valid_to",
+        "is_current",
+        F.lit("U").alias("op"),
+        F.when(
+            F.col("_seeded"),
+            F.array(F.lit("valid_to"), F.lit("is_current")),
+        )
+        .otherwise(
+            F.array(
+                *[F.lit(c) for c in payload_cols],
+                F.lit("valid_to"), F.lit("is_current"),
+            )
+        )
+        .alias("cols_set"),
+    )
+    return history.merge(spark, upd, batch_id=batch_id)

@@ -52,6 +52,7 @@ class CDCStreamPipeline:
         state_dir: str,
         use_pandas_assembly: bool | None = None,
         change_stream_dir: str | None = None,
+        history_table: "LakeTable | None" = None,
     ):
         # single-table (reference: one mask) or multi-table routed streaming
         # (reference: many OWNER.NAME masks with per-table keys,
@@ -70,6 +71,13 @@ class CDCStreamPipeline:
         # subdir + overwrite => a replayed batch rewrites the same files
         # (idempotent). A Kafka deployment points this at a kafka sink instead.
         self.change_stream_dir = change_stream_dir
+        # optional SCD2 side-output: maintain a version-history lake table
+        # incrementally per microbatch (plans/scd2_apply.py) — the
+        # warehouse-side history the reference leaves to its consumers,
+        # kept exactly-once by the same snapshot write-audit as the primary
+        # target. Single-table pipelines only; a multi-table deployment
+        # passes one history table per routed target.
+        self.history_table = history_table
         self.pending = PendingStore(os.path.join(state_dir, "pending"))
         self.lineage_dir = os.path.join(state_dir, "lineage")
         self.use_pandas_assembly = use_pandas_assembly
@@ -147,6 +155,20 @@ class CDCStreamPipeline:
                 summaries = apply_committed(
                     spark, committed, ddls, self.table, self.cfg, batch_id
                 )
+            if self.history_table is not None and self.tables is None:
+                from openlogreplicator_spark.plans.scd2_apply import (
+                    apply_scd2_batch,
+                )
+
+                payload = tuple(
+                    c for c in self.cfg.payload_cols
+                    if c in self.history_table.schema().fieldNames()
+                )
+                summaries.append(apply_scd2_batch(
+                    spark, committed, self.history_table, self.cfg,
+                    batch_id, payload_cols=payload,
+                    key_cols=tuple(self.cfg.key_cols),
+                ))
             if self.change_stream_dir is not None:
                 from openlogreplicator_spark.sinks import (
                     change_stream_messages, write_change_stream,
