@@ -74,15 +74,15 @@ def scd2_history(
         ),
     ).withColumn("_valid_to", F.lead("_ord").over(wk))
 
-    # per-epoch state carry: last SET value per column up to the current
-    # row. The value itself may legitimately be NULL, so wrap it in a
-    # struct — last(ignorenulls) then skips "not set" rows but keeps a set
-    # NULL (mirrors net_changes' max(struct(ord, val)) trick).
-    we = (
-        Window.partitionBy(*key_cols, "_epoch")
-        .orderBy("_ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # per-epoch state carry on the SAME key partitioning (not (key, epoch) —
+    # that would force a second exchange): carry the latest SET value per
+    # column tagged with ITS epoch, and null it out when that epoch is older
+    # than the current row's (ord is monotone per key, so the latest set row
+    # overall is the latest in-epoch one whenever epochs match). The value
+    # itself may legitimately be NULL, so it rides inside the struct —
+    # last(ignorenulls) skips "not set" rows but keeps a set NULL (mirrors
+    # net_changes' max(struct(ord, val)) trick).
+    we = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     state_cols = []
     for c in payload_cols:
         present = (F.col("op") != "D") & F.array_contains(
@@ -90,10 +90,17 @@ def scd2_history(
             c,
         )
         wrapped = F.when(
-            present, F.struct(F.col("after").getField(c).alias("v"))
+            present,
+            F.struct(
+                F.col("_epoch").alias("e"),
+                F.col("after").getField(c).alias("v"),
+            ),
         )
+        carry = F.last(wrapped, ignorenulls=True).over(we)
         state_cols.append(
-            F.last(wrapped, ignorenulls=True).over(we).getField("v").alias(c)
+            F.when(
+                carry.getField("e") == F.col("_epoch"), carry.getField("v")
+            ).alias(c)
         )
 
     out = df.select(

@@ -127,6 +127,63 @@ def main() -> None:
             assemble_transactions_sql(decoded, cfg), cfg)),
     ))
 
+    # ---- round-3 operators ----
+    from openlogreplicator_spark.functions.dedup import (
+        simhash_neardup_incremental,
+    )
+    from openlogreplicator_spark.functions.packing import token_chunk_assign
+    from openlogreplicator_spark.functions.sampling import stratified_sample
+    from openlogreplicator_spark.functions.temporal import (
+        asof_join, session_stats,
+    )
+    from openlogreplicator_spark.operators.scd2 import scd2_history
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    left = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    right = (events.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("v")))
+    sections.append((
+        "as-of join (union + window) — ONE exchange on the key; never a "
+        "range join: both sides union, a single last(ignorenulls) window "
+        "carries the right payload forward",
+        explain(asof_join(left, right, key="user_id", ts="ts")),
+    ))
+    sections.append((
+        "sessionization + rollup — lag/cumsum windows share one exchange "
+        "on user_id; the rollup groupBy gets map-side partial agg",
+        explain(session_stats(events)),
+    ))
+    sections.append((
+        "stratified sample — WindowGroupLimit pushes rank<=k into the "
+        "per-partition sort: each partition keeps only k rows per stratum "
+        "before the exchange",
+        explain(stratified_sample(docs, stratum_col="lang", k=10)),
+    ))
+    sections.append((
+        "token-budget sharding — one exchange on the group column; running "
+        "sum + chunk arithmetic all in codegen",
+        explain(token_chunk_assign(docs, 2000)),
+    ))
+    sections.append((
+        "SCD2 history — the operator adds exactly ONE exchange (on the key "
+        "columns; the other is upstream assembly's xid partitioning): the "
+        "epoch/lead windows AND the per-epoch state carry share it, the "
+        "carry riding a (epoch, value) struct instead of a second "
+        "(key, epoch) shuffle",
+        explain(scd2_history(
+            assemble_transactions_sql(dml, cfg),
+            list(cfg.key_cols), ["role", "text", "ts"])),
+    ))
+    sections.append((
+        "incremental near-dup (delta vs corpus) — banded equi-join of the "
+        "delta's band rows against the union; cost scales with the batch, "
+        "never corpus x corpus",
+        explain(simhash_neardup_incremental(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1))),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans of key operators\n\n")
