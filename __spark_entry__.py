@@ -832,6 +832,24 @@ def _q_evt_sessionize(spark, sf_dir):
     )
 
 
+def _q_evt_sessionize_native(spark, sf_dir):
+    """Spark's built-in session_window operator over the events table; the
+    oracle replays the native half-open boundary (diff >= gap starts a new
+    session) with lag + cumulative sum."""
+    out = TP.session_stats_native(
+        _tbl(spark, sf_dir, "events"), key="user_id", ts="ts",
+        gap_seconds=1800,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("start_str"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("end_str"),
+        "n_events",
+    )
+
+
 def _q_sample_stratified(spark, sf_dir):
     """Deterministic 10-per-language sample: smallest id_hash per stratum.
     Reproducible across runs/engines, WindowGroupLimit keeps only k rows
@@ -892,6 +910,7 @@ _TRAINING_QUERIES = {
     "dedup_cluster": _q_dedup_cluster,
     "evt_asof_join": _q_evt_asof_join,
     "evt_sessionize": _q_evt_sessionize,
+    "evt_sessionize_native": _q_evt_sessionize_native,
     "sample_stratified": _q_sample_stratified,
     "sample_fraction": _q_sample_fraction,
     "dedup_incremental": _q_dedup_incremental,
@@ -1324,6 +1343,35 @@ _TRAINING_ORACLES = {
           MIN(ts) AS session_start,
           MAX(ts) AS session_end,
           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+        FROM sess GROUP BY user_id, session_idx
+    """,
+    # native session_window boundary is INCLUSIVE (pinned by
+    # test_session_window_boundary_semantics): an event at exactly
+    # prev + gap merges, so a new session needs diff > gap — identical
+    # boundary to the lag-form sessionize
+    "evt_sessionize_native": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+            LAG(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ), marked AS (
+          SELECT user_id, ts,
+            CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM o
+        ), sess AS (
+          SELECT user_id, ts,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM marked
+        )
+        SELECT user_id,
+          strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_str,
+          strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                   '%Y-%m-%d %H:%M:%S.%f') AS end_str,
+          COUNT(*) AS n_events
         FROM sess GROUP BY user_id, session_idx
     """,
     # deterministic top-k per stratum by (id*2654435761 + 7) % 1000000007

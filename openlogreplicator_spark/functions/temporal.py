@@ -135,3 +135,36 @@ def session_stats(
         (F.max(_micros(F.col(ts)))
          - F.min(_micros(F.col(ts)))).alias("span_us"),
     )
+
+
+def session_stats_native(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Spark's BUILT-IN session operator (``F.session_window``) as the
+    alternative formulation of ``session_stats``: one groupBy over
+    (session_window, key), fully JVM-side with map-side partial merge of
+    overlapping windows.
+
+    Boundary semantics differ from ``sessionize`` by design and are pinned
+    here: a session window spans [start, last_event + gap) and the interval
+    is half-open, so an event at EXACTLY prev + gap starts a NEW session
+    (sessionize's lag-form uses diff > gap, which would merge it). The
+    driver oracle mirrors the native >= boundary.
+
+    Output: key, session_start (min ts), session_end (last ts + gap),
+    n_events.
+    """
+    w = F.session_window(F.col(ts), f"{int(gap_seconds)} seconds")
+    return (
+        events.groupBy(w.alias("_w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )

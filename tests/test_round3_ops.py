@@ -159,3 +159,96 @@ def test_token_chunks_deterministic_and_append_stable(spark):
     }
     assert {k: v for k, v in out2.items() if k != 8} == out
     assert out2[8] == (2, 3, 2)
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pins the native boundary: session_window's merge test is INCLUSIVE —
+    an event at EXACTLY prev + gap stays in the session (so both the native
+    and the lag-form (diff > gap) operators agree at the boundary, and the
+    shared driver oracle is honest)."""
+    from openlogreplicator_spark.functions.temporal import (
+        session_stats, session_stats_native,
+    )
+
+    base = dt.datetime(2026, 8, 17, 10, 0, 0)
+    rows = [
+        ("u1", base, 1),
+        ("u1", base + dt.timedelta(seconds=1800), 2),   # exactly gap later
+        ("u1", base + dt.timedelta(seconds=5000), 3),   # clearly new
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+    native = session_stats_native(ev, gap_seconds=1800).collect()
+    manual = session_stats(ev, gap_seconds=1800).collect()
+    assert sorted(r["n_events"] for r in native) == [1, 2]
+    assert sorted(r["n_events"] for r in manual) == [1, 2]
+    # native window end = last event of the session + gap
+    first = min(native, key=lambda r: r["session_start"])
+    assert first["n_events"] == 2
+    assert (first["session_end"] - first["session_start"]).total_seconds() \
+        == 1800 + 1800
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Structured Streaming session aggregation (watermark + session_window
+    state) over a file feed equals the batch operator on the same events —
+    the streaming form of session_stats_native."""
+    import os
+
+    from openlogreplicator_spark.functions.temporal import (
+        session_stats_native,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id") < 40)
+        # watermarks need TIMESTAMP; the parquet ts is NTZ (identity cast
+        # under the engine's UTC session contract)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    src_dir = str(tmp_path / "ev")
+    # sentinel event far past every real session: append mode only emits
+    # sessions the watermark has passed, and the sentinel drags the
+    # watermark beyond all of them (availableNow runs the no-data flush
+    # batch after the watermark advances)
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(999_999, mx + dt.timedelta(days=10))],
+        "user_id bigint, ts timestamp",
+    )
+    ev.unionByName(sentinel).coalesce(2).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .parquet(src_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "1800 seconds").alias("_w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sess_stream WHERE user_id != 999999"
+        ).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_stats_native(ev, gap_seconds=1800).collect()
+    )
+    assert got == want and len(got) > 10
