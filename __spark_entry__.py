@@ -366,6 +366,24 @@ def _q_nation_orders(spark, sf_dir):
     )
 
 
+def _q_quantiles(spark, sf_dir):
+    """Exact grouped quantiles (Spark `percentile`, linear interpolation at
+    rank p*(n-1)) — the profiling primitive a corpus-stats pass needs; the
+    oracle is DuckDB's quantile_cont with the same interpolation rule. At
+    scale the approximate form is `approx_percentile` (KLL sketch,
+    mergeable map-side) — exact here so the cross-engine check is tight."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    q = F.percentile(F.col("l_extendedprice"), F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75)
+    ))
+    return li.groupBy("l_returnflag").agg(
+        F.round(q[0], 6).alias("p25"),
+        F.round(q[1], 6).alias("p50"),
+        F.round(q[2], 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_top_orders(spark, sf_dir):
     orders = _tbl(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -398,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_pricing_summary,
         "join_nation_orders": _q_nation_orders,
         "window_top_orders": _q_top_orders,
+        "agg_quantiles": _q_quantiles,
         **_TRAINING_QUERIES,
     }
 
@@ -678,6 +697,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "agg_quantiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "window_top_orders": """
             SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (

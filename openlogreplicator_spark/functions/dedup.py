@@ -393,21 +393,33 @@ def embedding_neardup_lsh_candidates(
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def neardup_clusters(
+    pairs: DataFrame, max_iter: int = 25, shortcut: bool = True
+) -> DataFrame:
     """Connected components over near-dup candidate pairs -> duplicate
     clusters: every doc that appears in a pair gets the component's MIN
     doc id as ``cluster_id`` (the canonical keeper in a dedup pipeline is
     then ``doc_id == cluster_id``).
 
-    Algorithm: hash-min label propagation. Labels start as the node's own
-    id; each round every node takes the min of its own and its neighbors'
-    labels; converged when no label changed. Rounds = graph diameter
-    (near-dup components are dense and shallow, so typically <=3-4 rounds);
-    the large-star/small-star variant (which contracts diameter
-    logarithmically) is the drop-in upgrade if a corpus ever produces long
-    chains. Each round is ONE shuffle (join + groupBy on the same key —
-    AQE coalesces), the per-round convergence check is a bounded count()
-    action, and labels persist round-to-round to cut lineage growth.
+    Algorithm: hash-min label propagation with POINTER-JUMP shortcutting
+    (Shiloach-Vishkin style). Labels start as the node's own id; each round
+    every node takes the min of its own and its neighbors' labels, then
+    jumps through its label's label (``l(u) <- min(l(u), l(l(u)))`` — valid
+    because every label is itself a node of the same component, so the jump
+    never crosses components and only ever lowers). Plain hash-min needs
+    diameter rounds and SILENTLY mislabels any component deeper than
+    ``max_iter``; shortcutting contracts chains geometrically, converging
+    in O(log diameter) rounds (pinned by
+    test_cluster_chain_converges_with_shortcut: a 300-chain labels
+    correctly in <= 12 rounds where pure hash-min needs 300). Near-dup
+    components are usually dense and shallow anyway — the jump is one
+    extra self-join on the (small) label table per round, cheap insurance
+    against boilerplate-heavy corpora that chain.
+
+    Convergence: stop when no label changed (the shared fixpoint of both
+    steps is the per-component min). Each round shuffles the edge list
+    once and the label table twice; the convergence check is a bounded
+    count() action per round.
 
     Input: (doc_a, doc_b) pairs from any candidate generator
     (simhash_neardup_pairs, lsh_candidate_pairs, sign-LSH). Output:
@@ -442,18 +454,31 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("label").alias("nbr_min"))
         )
         old = labels.withColumnRenamed("label", "old_label")
-        new = (
-            old.join(nbr_min, "node", "left")
-            .select(
+        new = old.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("old_label"),
+                F.coalesce(F.col("nbr_min"), F.col("old_label")),
+            ).alias("label"),
+            F.col("old_label"),
+        )
+        if shortcut:
+            # pointer jump: look up the label's own label and take the min.
+            # Every label IS a node (labels only ever take node-id values),
+            # so the inner join hits every row.
+            lmap = new.select(
+                F.col("node").alias("_ln"), F.col("label").alias("_ll")
+            )
+            new = new.join(
+                lmap, new.label == lmap._ln, "left"
+            ).select(
                 "node",
                 F.least(
-                    F.col("old_label"),
-                    F.coalesce(F.col("nbr_min"), F.col("old_label")),
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
-                F.col("old_label"),
+                "old_label",
             )
-            .localCheckpoint()
-        )
+        new = new.localCheckpoint()
         changed = new.where(F.col("label") < F.col("old_label")).count()
         labels = new.select("node", "label")
         if changed == 0:

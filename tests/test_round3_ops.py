@@ -252,3 +252,18 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         for r in session_stats_native(ev, gap_seconds=1800).collect()
     )
     assert got == want and len(got) > 10
+
+
+def test_cluster_chain_converges_with_shortcut(spark):
+    """A 300-node chain (diameter 299) labels correctly within the default
+    max_iter thanks to pointer jumping; pure hash-min capped at the same
+    rounds silently mislabels the chain's tail — the robustness hole the
+    shortcut closes."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "doc_a long, doc_b long"
+    )
+    out = D.neardup_clusters(pairs, max_iter=12, shortcut=True).collect()
+    assert len(out) == 300
+    assert all(r["cluster_id"] == 0 for r in out)
+    bad = D.neardup_clusters(pairs, max_iter=12, shortcut=False).collect()
+    assert any(r["cluster_id"] != 0 for r in bad)
