@@ -130,9 +130,13 @@ def main() -> None:
 
     timed("cdc_json_stream", _json_stream)
 
-    # driver-contract analytics queries at bench scale
+    # driver-contract analytics queries at bench scale (incl. the round-3
+    # operator surface: SCD2, conversation rollup, as-of, sessionization,
+    # sampling, sharding, incremental dedup)
     for name in ("cdc_lww_dedup", "agg_pricing_summary", "join_nation_orders",
-                 "window_top_orders", "cdc_multirow_unnest"):
+                 "window_top_orders", "cdc_multirow_unnest", "cdc_scd2",
+                 "cdc_conv_rollup", "evt_asof_join", "evt_sessionize",
+                 "sample_stratified", "pack_chunks", "dedup_incremental"):
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 

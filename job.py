@@ -55,6 +55,8 @@ def main(argv: list[str]) -> None:
     p.add_argument("--change-stream-dir")
     # SCD2 side-output: maintain a version-history lake table per batch
     p.add_argument("--history-dir")
+    # materialized view: per-conversation rollup maintained per batch
+    p.add_argument("--conversations-dir")
     # table maintenance: expire superseded CoW snapshots after the run
     p.add_argument("--expire-keep", type=int)
     args = p.parse_args(argv)
@@ -114,10 +116,23 @@ def main(argv: list[str]) -> None:
                 if LakeTable.exists(args.history_dir)
                 else bootstrap_scd2_target(args.history_dir, cfg)
             )
+        conversations = None
+        if args.conversations_dir:
+            from openlogreplicator_spark.plans.rollup_apply import (
+                bootstrap_conversations_target,
+            )
+
+            conversations = (
+                LakeTable(args.conversations_dir)
+                if LakeTable.exists(args.conversations_dir)
+                else bootstrap_conversations_target(
+                    args.conversations_dir, cfg)
+            )
         pipe = CDCStreamPipeline(
             table, cfg, args.state_dir,
             change_stream_dir=args.change_stream_dir,
             history_table=history,
+            conversations_table=conversations,
         )
         q = pipe.run_stream(
             spark, args.feed_dir, args.checkpoint, available_now=True
@@ -127,6 +142,8 @@ def main(argv: list[str]) -> None:
         if history is not None:
             print("HISTORY_VERSIONS", history.read(spark).count(),
                   "OPEN", history.read(spark).where("is_current").count())
+        if conversations is not None:
+            print("CONVERSATIONS", conversations.read(spark).count())
         pipe.read_lineage(spark).orderBy("batch_id", "partition_id").show(50, False)
 
     spark.stop()

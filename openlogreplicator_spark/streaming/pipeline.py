@@ -53,6 +53,7 @@ class CDCStreamPipeline:
         use_pandas_assembly: bool | None = None,
         change_stream_dir: str | None = None,
         history_table: "LakeTable | None" = None,
+        conversations_table: "LakeTable | None" = None,
     ):
         # single-table (reference: one mask) or multi-table routed streaming
         # (reference: many OWNER.NAME masks with per-table keys,
@@ -78,6 +79,9 @@ class CDCStreamPipeline:
         # target. Single-table pipelines only; a multi-table deployment
         # passes one history table per routed target.
         self.history_table = history_table
+        # optional materialized view: conversations re-rolled per batch from
+        # the post-merge primary state (plans/rollup_apply.py)
+        self.conversations_table = conversations_table
         self.pending = PendingStore(os.path.join(state_dir, "pending"))
         self.lineage_dir = os.path.join(state_dir, "lineage")
         self.use_pandas_assembly = use_pandas_assembly
@@ -155,6 +159,17 @@ class CDCStreamPipeline:
                 summaries = apply_committed(
                     spark, committed, ddls, self.table, self.cfg, batch_id
                 )
+            if self.conversations_table is not None and self.tables is None:
+                from openlogreplicator_spark.plans.rollup_apply import (
+                    apply_conv_rollup_batch,
+                )
+
+                # AFTER the primary merge: rollups read post-merge state
+                summaries.append(apply_conv_rollup_batch(
+                    spark,
+                    committed.select("conv_id"),
+                    self.table, self.conversations_table, self.cfg, batch_id,
+                ))
             if self.history_table is not None and self.tables is None:
                 from openlogreplicator_spark.plans.scd2_apply import (
                     apply_scd2_batch,
