@@ -87,6 +87,13 @@ class LakeTable:
             "schema": schema.jsonValue(),
             "schema_id": 0,
             "schemas": {"0": schema.jsonValue()},
+            # Iceberg-style stable field ids: renames are metadata-only, and
+            # read() matches historical files' physical columns to current
+            # names THROUGH the id, never by name
+            "field_ids": {f.name: i + 1 for i, f in enumerate(schema.fields)},
+            "schemas_fids": {
+                "0": {f.name: i + 1 for i, f in enumerate(schema.fields)}
+            },
             "key_cols": list(key_cols),
             "num_buckets": num_buckets,
             "files": [],
@@ -116,6 +123,18 @@ class LakeTable:
 
     def schema(self) -> StructType:
         return StructType.fromJson(self.manifest()["schema"])
+
+    @staticmethod
+    def _fids(m: dict, sid: int) -> dict:
+        """Field-id map {column name at sid -> stable id}. Tables created
+        before field ids existed fall back to name-identity (name IS the id
+        — renames then require the id machinery, which `create` now always
+        writes)."""
+        fids = (m.get("schemas_fids") or {}).get(str(sid))
+        if fids is not None:
+            return fids
+        st = StructType.fromJson(m["schemas"][str(sid)])
+        return {f.name: f.name for f in st.fields}
 
     @property
     def key_cols(self) -> list[str]:
@@ -189,17 +208,22 @@ class LakeTable:
             by_schema.setdefault(f["schema_id"], []).append(
                 os.path.join(self.path, f["path"])
             )
+        cur_fids = self._fids(m, m["schema_id"])
         parts = []
         for sid, paths in by_schema.items():
             st = StructType.fromJson(m["schemas"][str(sid)])
             df = spark.read.schema(st).parquet(*paths)
-            # align to current schema: add missing columns as nulls, upcast types
-            proj = []
+            # align to current schema THROUGH stable field ids (rename-safe):
+            # missing columns null-filled, widened columns upcast
+            fids_s = self._fids(m, sid)
+            phys_by_fid = {fid: name for name, fid in fids_s.items()}
             have = {f.name: f.dataType for f in st.fields}
+            proj = []
             for fld in cur.fields:
-                if fld.name in have:
-                    c = F.col(fld.name)
-                    if have[fld.name] != fld.dataType:
+                phys = phys_by_fid.get(cur_fids.get(fld.name))
+                if phys is not None and phys in have:
+                    c = F.col(phys)
+                    if have[phys] != fld.dataType:
                         c = c.cast(fld.dataType)
                     proj.append(c.alias(fld.name))
                 else:
@@ -589,7 +613,41 @@ class LakeTable:
         if name in [f.name for f in cur.fields]:
             return
         new_schema = StructType(cur.fields).add(name, spark_type, True)
-        self._bump_schema(m, new_schema, {"operation": "add-column", "column": name})
+        fids = dict(self._fids(m, m["schema_id"]))
+        taken = [v for v in fids.values() if isinstance(v, int)]
+        fids[name] = (max(taken) + 1) if taken else f"f_{name}"
+        self._bump_schema(m, new_schema,
+                          {"operation": "add-column", "column": name},
+                          new_fids=fids)
+
+    def alter_rename_column(self, old: str, new: str) -> None:
+        """Metadata-only RENAME COLUMN (Iceberg rename): the field keeps its
+        stable id, so historical files' physical column (old name) still
+        binds to the renamed field at read time — no data rewrite at any
+        scale. Merge-key columns refuse (the merge identity must not change
+        under a running stream); a retried rename (old gone, new present)
+        is a no-op."""
+        m = dict(self.manifest())
+        if old in m["key_cols"]:
+            raise ValueError(f"cannot rename merge-key column {old!r}")
+        cur = StructType.fromJson(m["schema"])
+        names = [f.name for f in cur.fields]
+        if old not in names:
+            if new in names:
+                return  # idempotent retry
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fields = [
+            f.__class__(new, f.dataType, f.nullable) if f.name == old else f
+            for f in cur.fields
+        ]
+        fids = dict(self._fids(m, m["schema_id"]))
+        fids[new] = fids.pop(old)
+        self._bump_schema(m, StructType(fields),
+                          {"operation": "rename-column",
+                           "from": old, "to": new},
+                          new_fids=fids)
 
     def alter_drop_column(self, name: str) -> None:
         """Metadata-only DROP COLUMN (Iceberg schema evolution): the column
@@ -621,14 +679,24 @@ class LakeTable:
         self._bump_schema(m, StructType(fields),
                           {"operation": "widen", "column": name})
 
-    def _bump_schema(self, m: dict, new_schema: StructType, summary: dict) -> None:
+    def _bump_schema(self, m: dict, new_schema: StructType, summary: dict,
+                     new_fids: dict | None = None) -> None:
         v = m["version"] + 1
         sid = m["schema_id"] + 1
         schemas = dict(m["schemas"])
         schemas[str(sid)] = new_schema.jsonValue()
+        if new_fids is None:
+            # evolution that keeps names (widen/drop): carry ids for the
+            # surviving fields
+            prev = self._fids(m, m["schema_id"])
+            new_fids = {f.name: prev.get(f.name, f.name)
+                        for f in new_schema.fields}
+        schemas_fids = dict(m.get("schemas_fids") or {})
+        schemas_fids[str(sid)] = new_fids
         m.update(
             version=v, parent=m["version"], schema=new_schema.jsonValue(),
             schema_id=sid, schemas=schemas, summary=summary,
+            field_ids=new_fids, schemas_fids=schemas_fids,
         )
         self._commit(m)
 

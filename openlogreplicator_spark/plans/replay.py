@@ -50,6 +50,9 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
     Verbs mirror the reference's DDL types (OpCode1801.cpp:50-57:
     85=truncate, 12=drop, 15=alter, 86=truncate-partition):
       ADD COLUMN <name> <type> / WIDEN <name> <type>  (alter, applied)
+      RENAME COLUMN <old> [TO] <new>                  (metadata-only, stable
+                                                       field ids — historical
+                                                       files bind by id)
       TRUNCATE [TABLE [<name>]] / TRUNCATE PARTITION  (empty-snapshot commit)
       DROP [TABLE [<name>]]                           (tombstone manifest)
     Unknown verbs are LOGGED AND SKIPPED — never poison the batch. That is
@@ -80,6 +83,15 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
             )
             return
         table.alter_widen(parts[1], t)
+    elif kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
+        args = [p for p in parts[2:] if p.upper() != "TO"]
+        if len(args) != 2:
+            log.warning("skipping malformed RENAME COLUMN: %r", ddl)
+            return
+        try:
+            table.alter_rename_column(args[0], args[1])
+        except ValueError as e:  # key column / conflict — report, don't halt
+            log.warning("skipping RENAME COLUMN: %s", e)
     elif kind == "TRUNCATE" and unit in ("", "TABLE", "PARTITION"):
         # partition-level truncate (type 86) degrades to full truncate: the
         # lake target is not partition-aligned with the source's partitions

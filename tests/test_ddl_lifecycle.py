@@ -227,3 +227,65 @@ def test_add_column_unknown_type_is_skipped_not_fatal(spark, tmp_path):
     replay_batch(spark, feed, table, CFG, batch_id=1)  # must not raise
     assert "c" not in [f.name for f in table.schema().fields]
     _assert_eq(_final_state(table, spark), oracle)
+
+
+# --------------------------------------------------- RENAME COLUMN (round 3)
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """Rename is metadata-only: historical files bind through the stable
+    field id — pre-rename values appear under the new name, later merges
+    write the new name, and both schema eras read back unified."""
+    from openlogreplicator_spark.lake import LakeTable
+
+    cfg = EngineConfig(num_buckets=4)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    feed = generate_change_events(spark, n_txs=80, n_convs=10, seed=73)
+    replay_batch(spark, feed, table, cfg, batch_id=0)
+    before = table.read(spark).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    table.alter_rename_column("text", "body")
+    after = table.read(spark)
+    assert "body" in after.columns and "text" not in after.columns
+    pdf = after.toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(pdf["body"]) == list(before["text"])
+
+    # a later merge writes the NEW name; the two file eras unify on read
+    upd = after.limit(1).select(
+        "conv_id", "turn_idx",
+        *[F.lit(None).cast(table.schema()[c].dataType).alias(c)
+          for c in table.schema().fieldNames()
+          if c not in ("conv_id", "turn_idx", "body")],
+        F.lit("renamed!").alias("body"),
+        F.lit("U").alias("op"),
+        F.array(F.lit("body")).alias("cols_set"),
+    )
+    key = upd.select("conv_id", "turn_idx").first()
+    table.merge(spark, upd, batch_id=1)
+    got = table.read(spark).where(
+        (F.col("conv_id") == key["conv_id"])
+        & (F.col("turn_idx") == key["turn_idx"])
+    ).first()
+    assert got["body"] == "renamed!"
+    assert table.read(spark).count() == len(before)
+    # retried rename (old gone, new present) is a no-op
+    table.alter_rename_column("text", "body")
+
+
+def test_rename_column_via_ddl_feed(spark, tmp_path):
+    """RENAME COLUMN arriving as a DDL event mid-feed applies in order;
+    unknown/key-column renames are skipped, not fatal."""
+    cfg = EngineConfig(num_buckets=4)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    feed = generate_change_events(spark, n_txs=60, n_convs=8, seed=79)
+    ev, _ = _with_ddl_row(spark, feed, "RENAME COLUMN tool TO gadget")
+    replay_batch(spark, ev, table, cfg, batch_id=0)
+    assert "gadget" in table.read(spark).columns
+    assert "tool" not in table.read(spark).columns
+
+    # key-column rename: reported-and-skipped, batch completes
+    ev2 = generate_change_events(spark, n_txs=30, n_convs=8, seed=83)
+    ev2, _ = _with_ddl_row(spark, ev2, "RENAME COLUMN conv_id TO cid")
+    replay_batch(spark, ev2, table, cfg, batch_id=1)
+    assert "conv_id" in table.read(spark).columns
