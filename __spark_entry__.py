@@ -328,6 +328,44 @@ def _q_conv_rollup(spark, sf_dir):
     return reconstruct_conversations(state, sep="|")
 
 
+def _q_table_changes(spark, sf_dir):
+    """Snapshot-diff changelog (plans/changes.py — Iceberg changelog-scan
+    analog): replay the feed as two transaction-atomic batches (split by
+    terminator scn), then diff the two snapshots. Only buckets whose file
+    sets differ are read (manifest-level pruning). Oracle: final state over
+    commits <= mid vs over all commits, full-outer joined and classified
+    I/U/D with null-safe comparison."""
+    from openlogreplicator_spark.plans.changes import table_changes
+
+    feed = derive_feed(spark, sf_dir)
+    mid = feed.agg(F.max("scn")).first()[0] // 2
+    term = F.max("scn").over(Window.partitionBy("xid"))
+    tagged = feed.withColumn("_term", term)
+    b0 = tagged.where(F.col("_term") <= mid).drop("_term")
+    b1 = tagged.where(F.col("_term") > mid).drop("_term")
+    path = tempfile.mkdtemp(prefix="olr_chg_tbl_")
+    table = LakeTable.create(
+        path, _DERIVED_TARGET, ["conv_id", "turn_idx"],
+        num_buckets=_CFG.num_buckets,
+    )
+    try:
+        replay_batch(spark, b0, table, _CFG, batch_id=0)
+        v0 = table.current_version()
+        replay_batch(spark, b1, table, _CFG, batch_id=1)
+        v1 = table.current_version()
+        out = table_changes(spark, table, v0, v1).select(
+            "conv_id", "turn_idx", "change", "role", "text",
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts_str"),
+            "prev_role", "prev_text",
+            F.date_format(F.col("prev_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("prev_ts_str"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        table.drop()
+
+
 def _q_multirow_unnest(spark, sf_dir):
     """D5 multi-row unnest analog: explode word arrays into per-word rows."""
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
@@ -413,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multirow_unnest": _q_multirow_unnest,
         "cdc_scd2": _q_scd2,
         "cdc_conv_rollup": _q_conv_rollup,
+        "cdc_table_changes": _q_table_changes,
         "agg_pricing_summary": _q_pricing_summary,
         "join_nation_orders": _q_nation_orders,
         "window_top_orders": _q_top_orders,
@@ -585,6 +624,77 @@ SELECT conv_id, turn_idx, role, text, ts_str,
 FROM st WHERE op <> 'D'
 """
 
+# snapshot-diff changelog: final state over commits <= mid (what the first
+# transaction-atomic batch leaves) vs over all commits, full-outer joined
+# and classified I/U/D with null-safe (IS DISTINCT FROM) comparison
+_TABLE_CHANGES_SQL = FEED_SQL + f""",
+acts AS (
+  SELECT conv_id, turn_idx, op, commit_scn,
+         commit_scn * {_ORD} + scn AS ord,
+         CASE WHEN NOT trimmed THEN event_type END AS role_v,
+         text_v,
+         CASE WHEN NOT trimmed THEN strftime(src_ts, '%Y-%m-%d %H:%M:%S.%f') END AS ts_v,
+         NOT trimmed AS sets_role,
+         op IN ('I','U') AS sets_text,
+         NOT trimmed AS sets_ts
+  FROM surv
+), pk0 AS (
+  SELECT conv_id, turn_idx,
+    COALESCE(MAX(CASE WHEN op = 'D' THEN ord END), -1) AS del_ord,
+    MAX(CASE WHEN op <> 'D' THEN ord END) AS w_ord,
+    arg_max(role_v, CASE WHEN op <> 'D' AND sets_role AND role_v IS NOT NULL
+                         THEN ord END) AS role_last,
+    MAX(CASE WHEN op <> 'D' AND sets_role THEN ord END) AS role_ord,
+    arg_max(text_v, CASE WHEN op <> 'D' AND sets_text THEN ord END) AS text_last,
+    MAX(CASE WHEN op <> 'D' AND sets_text THEN ord END) AS text_ord,
+    arg_max(ts_v, CASE WHEN op <> 'D' AND sets_ts AND ts_v IS NOT NULL
+                       THEN ord END) AS ts_last,
+    MAX(CASE WHEN op <> 'D' AND sets_ts THEN ord END) AS ts_ord
+  FROM acts WHERE commit_scn <= (SELECT MAX(event_id) // 2 FROM events)
+  GROUP BY conv_id, turn_idx
+), pk1 AS (
+  SELECT conv_id, turn_idx,
+    COALESCE(MAX(CASE WHEN op = 'D' THEN ord END), -1) AS del_ord,
+    MAX(CASE WHEN op <> 'D' THEN ord END) AS w_ord,
+    arg_max(role_v, CASE WHEN op <> 'D' AND sets_role AND role_v IS NOT NULL
+                         THEN ord END) AS role_last,
+    MAX(CASE WHEN op <> 'D' AND sets_role THEN ord END) AS role_ord,
+    arg_max(text_v, CASE WHEN op <> 'D' AND sets_text THEN ord END) AS text_last,
+    MAX(CASE WHEN op <> 'D' AND sets_text THEN ord END) AS text_ord,
+    arg_max(ts_v, CASE WHEN op <> 'D' AND sets_ts AND ts_v IS NOT NULL
+                       THEN ord END) AS ts_last,
+    MAX(CASE WHEN op <> 'D' AND sets_ts THEN ord END) AS ts_ord
+  FROM acts GROUP BY conv_id, turn_idx
+), s0 AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN role_ord > del_ord THEN role_last END AS role,
+    CASE WHEN text_ord > del_ord THEN text_last END AS text,
+    CASE WHEN ts_ord > del_ord THEN ts_last END AS ts_str
+  FROM pk0 WHERE w_ord IS NOT NULL AND w_ord > del_ord
+), s1 AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN role_ord > del_ord THEN role_last END AS role,
+    CASE WHEN text_ord > del_ord THEN text_last END AS text,
+    CASE WHEN ts_ord > del_ord THEN ts_last END AS ts_str
+  FROM pk1 WHERE w_ord IS NOT NULL AND w_ord > del_ord
+), diff AS (
+  SELECT
+    COALESCE(s1.conv_id, s0.conv_id) AS conv_id,
+    COALESCE(s1.turn_idx, s0.turn_idx) AS turn_idx,
+    CASE WHEN s0.conv_id IS NULL THEN 'I'
+         WHEN s1.conv_id IS NULL THEN 'D'
+         WHEN (s0.role IS DISTINCT FROM s1.role)
+           OR (s0.text IS DISTINCT FROM s1.text)
+           OR (s0.ts_str IS DISTINCT FROM s1.ts_str) THEN 'U'
+    END AS change,
+    s1.role AS role, s1.text AS text, s1.ts_str AS ts_str,
+    s0.role AS prev_role, s0.text AS prev_text, s0.ts_str AS prev_ts_str
+  FROM s0 FULL JOIN s1
+    ON s0.conv_id = s1.conv_id AND s0.turn_idx = s1.turn_idx
+)
+SELECT * FROM diff WHERE change IS NOT NULL
+"""
+
 # conversation rollup over the final state (same state CTEs as
 # _FINAL_STATE_SQL, then an ordered string_agg per conversation)
 _CONV_ROLLUP_SQL = FEED_SQL + f""",
@@ -676,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_scd2": _SCD2_SQL,
         "cdc_conv_rollup": _CONV_ROLLUP_SQL,
+        "cdc_table_changes": _TABLE_CHANGES_SQL,
         "cdc_multirow_unnest": """
             SELECT doc_id, word, COUNT(*) AS cnt FROM (
               SELECT doc_id, UNNEST(string_split(text, ' ')) AS word

@@ -186,15 +186,18 @@ class LakeTable:
             F.lit(self.num_buckets),
         ).cast("int")
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        """Read the current snapshot, aligned to the current schema.
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             version: int | None = None) -> DataFrame:
+        """Read a snapshot (current, or ``version`` for time travel — Iceberg
+        `VERSION AS OF`), aligned to THAT snapshot's schema.
 
         Bucket pruning: pass ``buckets`` to read only matching data files
         (file-level pruning via manifest stats — Iceberg partition pruning).
         Old files written under earlier schemas are aligned: missing columns
-        null-filled, widened columns upcast (metadata-only evolution).
+        null-filled, widened columns upcast, renames bound through stable
+        field ids (metadata-only evolution).
         """
-        m = self.manifest()
+        m = self.manifest(version)
         cur = StructType.fromJson(m["schema"])
         files = m["files"]
         if buckets is not None:
