@@ -54,6 +54,7 @@ class CDCStreamPipeline:
         change_stream_dir: str | None = None,
         history_table: "LakeTable | None" = None,
         conversations_table: "LakeTable | None" = None,
+        sig_index_table: "LakeTable | None" = None,
     ):
         # single-table (reference: one mask) or multi-table routed streaming
         # (reference: many OWNER.NAME masks with per-table keys,
@@ -82,6 +83,9 @@ class CDCStreamPipeline:
         # optional materialized view: conversations re-rolled per batch from
         # the post-merge primary state (plans/rollup_apply.py)
         self.conversations_table = conversations_table
+        # optional CDC-maintained SimHash index over the conversations view
+        # (plans/dedup_index.py); requires conversations_table
+        self.sig_index_table = sig_index_table
         self.pending = PendingStore(os.path.join(state_dir, "pending"))
         self.lineage_dir = os.path.join(state_dir, "lineage")
         self.use_pandas_assembly = use_pandas_assembly
@@ -170,6 +174,17 @@ class CDCStreamPipeline:
                     committed.select("conv_id"),
                     self.table, self.conversations_table, self.cfg, batch_id,
                 ))
+                if self.sig_index_table is not None:
+                    from openlogreplicator_spark.plans.dedup_index import (
+                        apply_sig_index_batch,
+                    )
+
+                    # after the rollup: signatures read post-rollup view
+                    summaries.append(apply_sig_index_batch(
+                        spark, committed.select("conv_id"),
+                        self.conversations_table, self.sig_index_table,
+                        self.cfg, batch_id,
+                    ))
             if self.history_table is not None and self.tables is None:
                 from openlogreplicator_spark.plans.scd2_apply import (
                     apply_scd2_batch,

@@ -140,3 +140,73 @@ def test_streaming_conversations_view(spark, tmp_path):
 
     pd.testing.assert_frame_equal(_norm(conv.read(spark)),
                                   _full_roll(spark, table))
+
+
+def test_streaming_sig_index_tracks_view(spark, tmp_path):
+    """conversations view + SimHash index maintained through multi-batch
+    streaming: the index equals a fresh batch signing of the final view,
+    and index-only candidate pairs equal pairs computed from full text."""
+    from openlogreplicator_spark.functions.dedup import (
+        simhash, simhash_neardup_pairs,
+    )
+    from openlogreplicator_spark.plans.dedup_index import (
+        bootstrap_sig_index, neardup_candidates,
+    )
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4, maxFilesPerTrigger=1)
+    feed = generate_change_events(spark, n_txs=100, n_convs=12, seed=101)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    pdf = feed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    n = len(pdf)
+    for i in range(3):
+        lo, hi = (n * i) // 3, (n * (i + 1)) // 3
+        sdf = pandas_to_events_df(spark, pdf.iloc[lo:hi])
+        tmp = os.path.join(feed_dir, f"_tmp{i}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(feed_dir, f"seq{i:04d}.parquet"))
+        shutil.rmtree(tmp)
+        time.sleep(0.05)
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    conv = bootstrap_conversations_target(str(tmp_path / "c"), cfg)
+    idx = bootstrap_sig_index(str(tmp_path / "i"), cfg)
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"),
+                             conversations_table=conv, sig_index_table=idx)
+    q = pipe.run_stream(spark, feed_dir, str(tmp_path / "ckpt"),
+                        available_now=True)
+    q.awaitTermination(180)
+    pipe.detach_metrics()
+
+    got = {
+        r["conv_id"]: r["simhash"]
+        for r in idx.read(spark).collect()
+    }
+    want = {
+        r["conv_id"]: r["simhash"]
+        for r in simhash(
+            conv.read(spark).select(
+                "conv_id", F.col("full_text").alias("text")),
+            bits=32, id_col="conv_id",
+        ).collect()
+    }
+    assert got == want and len(got) > 5
+
+    # index-only candidates == full-text banded pairs over the view
+    from_idx = sorted(
+        (r["conv_a"], r["conv_b"], r["hamming"])
+        for r in neardup_candidates(idx, spark).collect()
+    )
+    from_text = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(
+            conv.read(spark).select(
+                F.col("conv_id").alias("doc_id"),
+                F.col("full_text").alias("text"),
+            ),
+            bits=32, radius=3, bands=4,
+        ).collect()
+    )
+    assert from_idx == from_text
