@@ -212,25 +212,31 @@ class LakeTable:
                 os.path.join(self.path, f["path"])
             )
         cur_fids = self._fids(m, m["schema_id"])
+        defaults = m.get("initial_defaults") or {}
         parts = []
         for sid, paths in by_schema.items():
             st = StructType.fromJson(m["schemas"][str(sid)])
             df = spark.read.schema(st).parquet(*paths)
             # align to current schema THROUGH stable field ids (rename-safe):
-            # missing columns null-filled, widened columns upcast
+            # missing columns filled with the initial-default (or null),
+            # widened columns upcast
             fids_s = self._fids(m, sid)
             phys_by_fid = {fid: name for name, fid in fids_s.items()}
             have = {f.name: f.dataType for f in st.fields}
             proj = []
             for fld in cur.fields:
-                phys = phys_by_fid.get(cur_fids.get(fld.name))
+                fid = cur_fids.get(fld.name)
+                phys = phys_by_fid.get(fid)
                 if phys is not None and phys in have:
                     c = F.col(phys)
                     if have[phys] != fld.dataType:
                         c = c.cast(fld.dataType)
                     proj.append(c.alias(fld.name))
                 else:
-                    proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                    dflt = defaults.get(str(fid))
+                    proj.append(
+                        F.lit(dflt).cast(fld.dataType).alias(fld.name)
+                    )
             parts.append(df.select(*proj))
         out = parts[0]
         for p in parts[1:]:
@@ -608,9 +614,16 @@ class LakeTable:
     def is_dropped(self) -> bool:
         return bool((self.manifest().get("properties") or {}).get("dropped"))
 
-    def alter_add_column(self, name: str, spark_type) -> None:
+    def alter_add_column(self, name: str, spark_type,
+                         default: str | None = None) -> None:
         """Metadata-only ADD COLUMN (Iceberg schema evolution). The reference
-        only *reports* DDL (OutputBuffer.cpp:1957-2007); we apply it."""
+        only *reports* DDL (OutputBuffer.cpp:1957-2007); we apply it.
+
+        ``default`` (Iceberg initial-default): rows that existed BEFORE the
+        column (files written under earlier schemas) read this value instead
+        of NULL — pure metadata, no rewrite. Rows written after get whatever
+        the writer sets (the feed's null-fill writes explicit NULLs), which
+        is exactly Iceberg's initial-default vs write-default split."""
         m = dict(self.manifest())
         cur = StructType.fromJson(m["schema"])
         if name in [f.name for f in cur.fields]:
@@ -618,10 +631,16 @@ class LakeTable:
         new_schema = StructType(cur.fields).add(name, spark_type, True)
         fids = dict(self._fids(m, m["schema_id"]))
         taken = [v for v in fids.values() if isinstance(v, int)]
-        fids[name] = (max(taken) + 1) if taken else f"f_{name}"
+        fid = (max(taken) + 1) if taken else f"f_{name}"
+        fids[name] = fid
+        extra = {}
+        if default is not None:
+            defaults = dict(m.get("initial_defaults") or {})
+            defaults[str(fid)] = default
+            extra["initial_defaults"] = defaults
         self._bump_schema(m, new_schema,
                           {"operation": "add-column", "column": name},
-                          new_fids=fids)
+                          new_fids=fids, extra=extra)
 
     def alter_rename_column(self, old: str, new: str) -> None:
         """Metadata-only RENAME COLUMN (Iceberg rename): the field keeps its
@@ -683,7 +702,8 @@ class LakeTable:
                           {"operation": "widen", "column": name})
 
     def _bump_schema(self, m: dict, new_schema: StructType, summary: dict,
-                     new_fids: dict | None = None) -> None:
+                     new_fids: dict | None = None,
+                     extra: dict | None = None) -> None:
         v = m["version"] + 1
         sid = m["schema_id"] + 1
         schemas = dict(m["schemas"])
@@ -700,6 +720,7 @@ class LakeTable:
             version=v, parent=m["version"], schema=new_schema.jsonValue(),
             schema_id=sid, schemas=schemas, summary=summary,
             field_ids=new_fids, schemas_fids=schemas_fids,
+            **(extra or {}),
         )
         self._commit(m)
 

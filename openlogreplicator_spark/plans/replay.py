@@ -73,7 +73,10 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
                 "applied): %r", ddl,
             )
             return
-        table.alter_add_column(parts[2], t)
+        default = None
+        if len(parts) >= 6 and parts[4].upper() == "DEFAULT":
+            default = parts[5]
+        table.alter_add_column(parts[2], t, default=default)
     elif kind == "WIDEN" and len(parts) >= 3:
         t = _spark_type(parts[2])
         if t is None:

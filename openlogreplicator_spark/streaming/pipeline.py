@@ -40,7 +40,7 @@ from openlogreplicator_spark.streaming.state import PendingStore
 
 LINEAGE_COLS = [
     "batch_id", "partition_id", "scn_min", "scn_max", "events",
-    "snapshot_id", "rows_merged", "wall_ms",
+    "snapshot_id", "rows_merged", "wall_ms", "ts_max_us",
 ]
 
 
@@ -133,6 +133,12 @@ class CDCStreamPipeline:
                 F.max(
                     (F.col("table") == self.control_table).cast("int")
                 ).alias("ctl"),
+                # event-time high-water per partition: freshness lag =
+                # commit wall time minus max(ts_max_us) of the batch
+                # (reference checkpoint records the matching timestamp,
+                # Writer.cpp:325-354)
+                F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                .alias("ts_max_us"),
             )
             .collect()
         )
@@ -252,13 +258,15 @@ class CDCStreamPipeline:
         rows = [
             (int(batch_id), int(p["partition_id"]), int(p["scn_min"]),
              int(p["scn_max"]), int(p["events"]), int(snap), int(rows_merged),
-             int(wall_ms))
+             int(wall_ms),
+             int(p["ts_max_us"]) if p["ts_max_us"] is not None else -1)
             for p in part_stats
-        ] or [(int(batch_id), -1, -1, -1, 0, int(snap), 0, int(wall_ms))]
+        ] or [(int(batch_id), -1, -1, -1, 0, int(snap), 0, int(wall_ms), -1)]
         df = spark.createDataFrame(
             rows,
             "batch_id long, partition_id int, scn_min long, scn_max long,"
-            "events long, snapshot_id long, rows_merged long, wall_ms long",
+            "events long, snapshot_id long, rows_merged long, wall_ms long,"
+            "ts_max_us long",
         )
         # append-only; a replayed batch appends again -> readers dedup on
         # (batch_id, partition_id) keeping the latest write (see read_lineage)

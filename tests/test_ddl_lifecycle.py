@@ -289,3 +289,53 @@ def test_rename_column_via_ddl_feed(spark, tmp_path):
     ev2, _ = _with_ddl_row(spark, ev2, "RENAME COLUMN conv_id TO cid")
     replay_batch(spark, ev2, table, cfg, batch_id=1)
     assert "conv_id" in table.read(spark).columns
+
+
+# ---------------------------------------- ADD COLUMN DEFAULT (round 3)
+
+def test_add_column_initial_default(spark, tmp_path):
+    """Iceberg initial-default: rows from files that PREDATE the column
+    read the default with no rewrite; rows written afterwards get what the
+    writer set (explicit value or null) — never the default."""
+    cfg = EngineConfig(num_buckets=4)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    feed = generate_change_events(spark, n_txs=60, n_convs=8, seed=103)
+    replay_batch(spark, feed, table, cfg, batch_id=0)
+    n = table.read(spark).count()
+
+    from pyspark.sql import types as T
+    table.alter_add_column("score", T.LongType(), default="7")
+    got = table.read(spark)
+    assert got.where(F.col("score") == 7).count() == n
+
+    # explicit write wins; untouched rows keep reading the default
+    row = got.first()
+    upd = spark.createDataFrame(
+        [(row["conv_id"], row["turn_idx"], 42)],
+        "conv_id string, turn_idx long, score long",
+    ).select(
+        "conv_id", "turn_idx",
+        *[F.lit(None).cast(table.schema()[c].dataType).alias(c)
+          for c in table.schema().fieldNames()
+          if c not in ("conv_id", "turn_idx", "score")],
+        "score",
+        F.lit("U").alias("op"),
+        F.array(F.lit("score")).alias("cols_set"),
+    )
+    table.merge(spark, upd, batch_id=9999)
+    out = table.read(spark)
+    assert out.where(F.col("score") == 42).count() == 1
+    assert out.where(F.col("score") == 7).count() == n - 1
+
+
+def test_add_column_default_via_ddl_feed(spark, tmp_path):
+    """DEFAULT arriving in the DDL text mid-feed: batch completes, pre-DDL
+    rows carry the default."""
+    cfg = EngineConfig(num_buckets=4)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    feed = generate_change_events(spark, n_txs=60, n_convs=8, seed=107)
+    ev, _ = _with_ddl_row(spark, feed, "ADD COLUMN score bigint DEFAULT 7")
+    replay_batch(spark, ev, table, cfg, batch_id=0)
+    got = table.read(spark)
+    assert "score" in got.columns
+    assert got.where(F.col("score") == 7).count() > 0
