@@ -210,3 +210,56 @@ def test_streaming_sig_index_tracks_view(spark, tmp_path):
         ).collect()
     )
     assert from_idx == from_text
+
+
+def test_crash_between_primary_and_view_then_resume(spark, tmp_path,
+                                                    monkeypatch):
+    """Exactly-once across the side-output chain: the primary merge commits,
+    then the view stage crashes mid-batch. On restart the batch replays —
+    the primary merge is skipped by its write-audit, the view applies from
+    the same post-merge state, and the chain converges with no duplicates
+    or loss."""
+    from openlogreplicator_spark.plans import rollup_apply as RA
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4)
+    feed = generate_change_events(spark, n_txs=80, n_convs=10, seed=113)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    feed.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    conv = bootstrap_conversations_target(str(tmp_path / "c"), cfg)
+
+    orig = RA.apply_conv_rollup_batch
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after the primary merge")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(RA, "apply_conv_rollup_batch", flaky)
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"),
+                             conversations_table=conv)
+    q = pipe.run_stream(spark, feed_dir, str(tmp_path / "ckpt"),
+                        available_now=True)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    pipe.detach_metrics()
+    assert calls["n"] == 1
+    assert table.read(spark).count() > 0, "primary committed before crash"
+    assert conv.read(spark).count() == 0, "view stage crashed"
+
+    monkeypatch.setattr(RA, "apply_conv_rollup_batch", orig)
+    pipe2 = CDCStreamPipeline(table, cfg, str(tmp_path / "state"),
+                              conversations_table=conv)
+    q2 = pipe2.run_stream(spark, feed_dir, str(tmp_path / "ckpt"),
+                          available_now=True)
+    q2.awaitTermination(120)
+    pipe2.detach_metrics()
+    pd.testing.assert_frame_equal(_norm(conv.read(spark)),
+                                  _full_roll(spark, table))
