@@ -14,7 +14,12 @@ Scale: the join only reads TOUCHED buckets — copy-on-write rewrites whole
 bucket files, so any bucket whose file set is identical between the two
 manifests provably holds identical rows and is pruned from BOTH scans
 before any I/O (manifest-level diff, no file reads). The remaining diff is
-one bucket-aligned full-outer join on the merge key.
+one full-outer join on the merge key. Both sides are files of the SAME
+bucket spec, so on real Iceberg the v2 storage-partitioned join
+(`spark.sql.sources.v2.bucketing.enabled`) elides both exchanges; the
+local parquet stand-in can't declare its bucketing to Catalyst, so the
+plan here shows the two hash exchanges (PLANS.md 'snapshot-diff
+changelog') — they disappear, not grow, at scale.
 """
 
 from __future__ import annotations

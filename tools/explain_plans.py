@@ -184,6 +184,57 @@ def main() -> None:
             docs.where(F.col("doc_id") % 2 == 1))),
     ))
 
+    # ---- round-3 tail: changelog, native sessions, quantiles, sign-LSH ----
+    from openlogreplicator_spark.functions.dedup import (
+        embedding_neardup_lsh_candidates,
+    )
+    from openlogreplicator_spark.functions.temporal import session_stats_native
+    from openlogreplicator_spark.plans.changes import table_changes
+    from openlogreplicator_spark.plans.replay import (
+        bootstrap_target, replay_batch,
+    )
+    from pyspark.sql import Window
+
+    mid = pfeed.agg(F.max("scn")).first()[0] // 2
+    term = F.max("scn").over(Window.partitionBy("xid"))
+    tagged = pfeed.withColumn("_t", term)
+    tbl = bootstrap_target(f"{tmp}/tc_table", cfg)
+    replay_batch(spark, tagged.where(F.col("_t") <= mid).drop("_t"),
+                 tbl, cfg, batch_id=0)
+    v0 = tbl.current_version()
+    replay_batch(spark, tagged.where(F.col("_t") > mid).drop("_t"),
+                 tbl, cfg, batch_id=1)
+    v1 = tbl.current_version()
+    sections.append((
+        "snapshot-diff changelog (table_changes) — untouched buckets pruned "
+        "DRIVER-SIDE from the manifests (both scans list only changed "
+        "buckets' files); one full-outer SortMergeJoin on the key cols, "
+        "change classification in codegen",
+        explain(table_changes(spark, tbl, v0, v1)),
+    ))
+    sections.append((
+        "native sessionization (session_window) — built-in session operator: "
+        "ONE exchange on the key with map-side partial aggregation "
+        "(HashAggregate/ObjectHashAggregate x2 around it); session merge "
+        "stays JVM-side",
+        explain(session_stats_native(events)),
+    ))
+    sections.append((
+        "embedding sign-LSH candidates — deterministic-plane signatures in "
+        "codegen, banded equi-join on (band, band_sig); never all-pairs, "
+        "dims inferred from the corpus at fit time",
+        explain(embedding_neardup_lsh_candidates(emb)),
+    ))
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    sections.append((
+        "exact grouped quantiles (percentile) — single hash aggregate with "
+        "map-side partial merge; at 100 TB swap percentile -> "
+        "approx_percentile (KLL sketch) with no plan-shape change",
+        explain(lineitem.groupBy("l_returnflag").agg(
+            F.percentile(F.col("l_extendedprice"),
+                         F.array(F.lit(0.5), F.lit(0.95))).alias("p"))),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans of key operators\n\n")
