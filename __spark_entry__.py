@@ -127,6 +127,41 @@ def _q_final_state(spark, sf_dir):
     return _replay_final_state(spark, sf_dir)
 
 
+def _q_final_state_mor(spark, sf_dir):
+    """Same replay contract through the merge-on-read writer: two scn-chunked
+    batches (the second layers equality-delete + data deltas over the first —
+    O(batch) appends, no bucket rewrite) then a compact folds the deltas.
+    Oracle identical to cdc_final_state: MoR must be read-equivalent."""
+    import dataclasses
+
+    feed = derive_feed(spark, sf_dir)
+    cfg = dataclasses.replace(_CFG, merge_mode="mor")
+    path = tempfile.mkdtemp(prefix="olr_entry_mor_")
+    table = LakeTable.create(
+        path, _DERIVED_TARGET, ["conv_id", "turn_idx"],
+        num_buckets=cfg.num_buckets, write_mode="mor",
+    )
+    try:
+        mid = feed.agg(F.expr("percentile(scn, 0.5)")).first()[0]
+        replay_batch(spark, feed.where(F.col("scn") <= mid), table, cfg,
+                     batch_id=0)
+        # cumulative second chunk: the commit-scn high-water mark dedups
+        # already-applied transactions (same contract as streaming resume)
+        replay_batch(spark, feed, table, cfg, batch_id=1)
+        table.compact(spark)
+        out = table.read(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts_str"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        table.drop()
+
+
 def _q_lww_dedup(spark, sf_dir):
     """G3 window form: last committed surviving write per key wins."""
     ev = derive_feed(spark, sf_dir)
@@ -441,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_assembly_pandas": _q_assembly_pandas,
         "cdc_net_changes": _q_net_changes,
         "cdc_final_state": _q_final_state,
+        "cdc_final_state_mor": _q_final_state_mor,
         "cdc_lww_dedup": _q_lww_dedup,
         "cdc_commit_order": _q_commit_order,
         "cdc_start_scn": _q_start_scn,
@@ -744,6 +780,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_assembly_pandas": _ASSEMBLY_SQL,
         "cdc_net_changes": _NET_CHANGES_SQL,
         "cdc_final_state": _FINAL_STATE_SQL,
+        "cdc_final_state_mor": _FINAL_STATE_SQL,
         "cdc_lww_dedup": _LWW_SQL,
         "cdc_commit_order": FEED_SQL + """
             SELECT xid, commit_scn, COUNT(*) AS n_dml,

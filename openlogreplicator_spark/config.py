@@ -43,6 +43,19 @@ class EngineConfig:
     # number of hash buckets of the target lake table (MERGE co-location unit).
     num_buckets: int = 16
 
+    # target MERGE strategy (Iceberg write.merge.mode): 'cow' rewrites each
+    # touched bucket per batch (read-optimized — best when batches touch few
+    # buckets or reads dominate); 'mor' appends batch-sized data files plus
+    # equality-delete files and resolves at read time (write-optimized —
+    # at 100 TB with small frequent batches CoW's per-batch bucket rewrite
+    # is the dominant cost). Pair 'mor' with compact_every.
+    merge_mode: str = "cow"
+
+    # streaming maintenance cadence: every N committed microbatches, fold
+    # merge-on-read deltas back into data files (LakeTable.compact). None =
+    # never (batch callers run compact explicitly).
+    compact_every: int | None = None
+
     # salt factor for skew handling in the assembly shuffle: transactions are
     # grouped by pmod(xxhash64(xid), assembly_buckets * parallelism) so one hot
     # conversation cannot pin a single task (north-rule skew requirement).
@@ -96,6 +109,10 @@ class EngineConfig:
             raise ValueError(
                 f"assembly_mode must be 'pandas', 'sql' or 'auto', got "
                 f"{self.assembly_mode!r}"
+            )
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"merge_mode must be 'cow' or 'mor', got {self.merge_mode!r}"
             )
 
     @property

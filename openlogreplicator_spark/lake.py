@@ -47,6 +47,8 @@ _MANIFEST_DIR = "_manifests"
 _POINTER = "_current"
 _DATA_DIR = "data"
 _BUCKET_COL = "_b"
+_SEQ_COL = "_olr_seq"
+_WRITE_MODE_PROP = "write.merge.mode"  # Iceberg table property of the same name
 
 # deterministic seed for the bucket hash — must never change for a table's life.
 _HASH_SEED_COL = "_olr_bucket_seed"
@@ -78,10 +80,15 @@ class LakeTable:
         key_cols: list[str],
         num_buckets: int = 16,
         properties: dict | None = None,
+        write_mode: str = "cow",
     ) -> "LakeTable":
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         t = cls(path)
+        properties = dict(properties or {})
+        properties.setdefault(_WRITE_MODE_PROP, write_mode)
         manifest = {
             "version": 0,
             "schema": schema.jsonValue(),
@@ -100,7 +107,7 @@ class LakeTable:
             "summary": {"operation": "create"},
             "last_batch_id": -1,
             "last_scn": -1,
-            "properties": properties or {},
+            "properties": properties,
             "parent": None,
         }
         t._commit(manifest)
@@ -143,6 +150,31 @@ class LakeTable:
     @property
     def num_buckets(self) -> int:
         return int(self.manifest()["num_buckets"])
+
+    @property
+    def write_mode(self) -> str:
+        """'cow' (copy-on-write, default) or 'mor' (merge-on-read) — the
+        Iceberg ``write.merge.mode`` table property. Under 'mor', ``merge``
+        appends batch-sized data files plus equality-delete files instead
+        of rewriting whole buckets; readers resolve, ``compact`` folds."""
+        return str((self.manifest().get("properties") or {})
+                   .get(_WRITE_MODE_PROP, "cow"))
+
+    def set_write_mode(self, mode: str) -> None:
+        """Switch the merge mode (metadata-only commit). Both directions are
+        safe mid-stream: CoW merges fold any existing delete files of the
+        touched buckets in, MoR merges layer over CoW files."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {mode!r}")
+        m = dict(self.manifest())
+        props = dict(m.get("properties") or {})
+        if props.get(_WRITE_MODE_PROP, "cow") == mode:
+            return
+        props[_WRITE_MODE_PROP] = mode
+        m.update(version=m["version"] + 1, parent=m["version"],
+                 properties=props,
+                 summary={"operation": "set-write-mode", "mode": mode})
+        self._commit(m)
 
     def last_batch_id(self) -> int:
         return int(self.manifest()["last_batch_id"])
@@ -203,23 +235,20 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
-        if not files:
+        data = [f for f in files if f.get("content", "data") == "data"]
+        dels = [f for f in files if f.get("content") == "eq-del"]
+        if not data:
             return spark.createDataFrame([], cur)
 
-        by_schema: dict[int, list[str]] = {}
-        for f in files:
-            by_schema.setdefault(f["schema_id"], []).append(
-                os.path.join(self.path, f["path"])
-            )
         cur_fids = self._fids(m, m["schema_id"])
         defaults = m.get("initial_defaults") or {}
-        parts = []
-        for sid, paths in by_schema.items():
+
+        def align(sid: int, paths: list[str], extra=()):
+            """Read one schema generation and project it to the CURRENT
+            schema through stable field ids (rename-safe): missing columns
+            filled with the initial-default (or null), widened upcast."""
             st = StructType.fromJson(m["schemas"][str(sid)])
             df = spark.read.schema(st).parquet(*paths)
-            # align to current schema THROUGH stable field ids (rename-safe):
-            # missing columns filled with the initial-default (or null),
-            # widened columns upcast
             fids_s = self._fids(m, sid)
             phys_by_fid = {fid: name for name, fid in fids_s.items()}
             have = {f.name: f.dataType for f in st.fields}
@@ -237,22 +266,88 @@ class LakeTable:
                     proj.append(
                         F.lit(dflt).cast(fld.dataType).alias(fld.name)
                     )
-            parts.append(df.select(*proj))
-        out = parts[0]
+            return df.select(*proj, *extra)
+
+        if not dels:
+            # pure copy-on-write snapshot — group files by schema generation
+            by_schema: dict[int, list[str]] = {}
+            for f in data:
+                by_schema.setdefault(f["schema_id"], []).append(
+                    os.path.join(self.path, f["path"])
+                )
+            parts = [align(sid, paths) for sid, paths in by_schema.items()]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        # merge-on-read resolve (Iceberg v2 equality deletes): a data row
+        # survives iff no delete file with a STRICTLY HIGHER data sequence
+        # number carries its key. One aggregation over the (small) delete
+        # relation + one join — cost independent of how many MoR commits
+        # are stacked; both sides share the bucket spec, so at cluster
+        # scale the join is storage-partitioned (no exchange).
+        key_cols = m["key_cols"]
+        by_gen: dict[tuple[int, int], list[str]] = {}
+        for f in data:
+            by_gen.setdefault((f["schema_id"], int(f.get("seq", 0))), []).append(
+                os.path.join(self.path, f["path"])
+            )
+        parts = []
+        for (sid, seq), paths in by_gen.items():
+            parts.append(
+                align(sid, paths).withColumn(_SEQ_COL, F.lit(seq))
+            )
+        rows = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            rows = rows.unionByName(p)
+
+        key_types = {f.name: f.dataType for f in cur.fields}
+        dparts = []
+        for f in dels:
+            st = StructType.fromJson(m["schemas"][str(f["schema_id"])])
+            dkeys = spark.read.schema(
+                StructType([fl for fl in st.fields if fl.name in key_cols])
+            ).parquet(os.path.join(self.path, f["path"]))
+            dparts.append(dkeys.select(
+                *[F.col(k).cast(key_types[k]).alias(k) for k in key_cols],
+                F.lit(int(f["seq"])).alias("_dseq"),
+            ))
+        dd = dparts[0]
+        for p in dparts[1:]:
+            dd = dd.unionByName(p)
+        dagg = dd.groupBy(*key_cols).agg(F.max("_dseq").alias("_dseq"))
+        # manifest row stats tell us the delete relation's size up front —
+        # broadcast it while small (the common steady state between
+        # compactions); past that, fall back to the shuffled join and let
+        # AQE plan it
+        if sum(int(f["rows"]) for f in dels) <= 2_000_000:
+            dagg = F.broadcast(dagg)
+        out = (
+            rows.join(dagg, on=list(key_cols), how="left")
+            .where(F.col("_dseq").isNull() | (F.col(_SEQ_COL) >= F.col("_dseq")))
+            .drop("_dseq", _SEQ_COL)
+        )
+        return out.select(*[f.name for f in cur.fields])
 
     # ---------------------------------------------------------------- writing
 
     def _write_data(self, df: DataFrame, version: int,
                     pre_partitioned: bool = False,
-                    num_buckets: int | None = None) -> list[dict]:
+                    num_buckets: int | None = None,
+                    subdir: str = "",
+                    content: str = "data") -> list[dict]:
         """Write df (must carry _BUCKET_COL) partitioned by bucket; return file
-        entries with row counts from parquet footers (driver-side, cheap)."""
+        entries with row counts from parquet footers (driver-side, cheap).
+
+        ``content='eq-del'`` marks the entries as equality-delete files
+        (Iceberg v2 delete manifests): the rows are merge-key tuples, read()
+        applies them to data files with a LOWER data sequence number. Every
+        entry carries ``seq`` = the committing snapshot version (the Iceberg
+        data sequence number)."""
         import pyarrow.parquet as pq
 
-        rel = os.path.join(_DATA_DIR, f"v{version}")
+        rel = os.path.join(_DATA_DIR, f"v{version}{subdir}")
         out_dir = os.path.join(self.path, rel)
         # co-locate each bucket into one task before the partitioned write:
         # one data file per touched bucket (vs. files x tasks), so manifest
@@ -274,12 +369,16 @@ class LakeTable:
 
         def stat(item):
             full, bucket = item
-            return {
+            e = {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
                 "rows": pq.ParquetFile(full).metadata.num_rows,
                 "schema_id": sid,
+                "seq": version,
             }
+            if content != "data":
+                e["content"] = content
+            return e
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -332,7 +431,17 @@ class LakeTable:
         ``touched`` (optional): pre-computed touched bucket list (e.g. from a
         bucket-partitioned staging write) — skips the distinct-collect job.
         ``updates_bucketed``: set when ``updates`` already carries _b.
+
+        When the table's ``write.merge.mode`` property is 'mor', dispatches
+        to the merge-on-read writer (``_merge_mor``): batch-sized appends
+        instead of bucket rewrites.
         """
+        if self.write_mode == "mor":
+            return self._merge_mor(
+                spark, updates, batch_id, summary=summary, op_col=op_col,
+                cols_set_col=cols_set_col, touched=touched,
+                updates_bucketed=updates_bucketed,
+            )
         m = self.manifest()
         if batch_id <= m["last_batch_id"]:
             return {"operation": "merge", "skipped": True,
@@ -353,7 +462,10 @@ class LakeTable:
             )
         touched = sorted(touched)
 
-        base_has_rows = any(f["bucket"] in set(touched) for f in m["files"])
+        base_has_rows = any(
+            f["bucket"] in set(touched) and f.get("content", "data") == "data"
+            for f in m["files"]
+        )
         if not base_has_rows:
             # fast path — nothing to resolve against: upserts project directly
             # (absent cols NULL), deletes drop. One job, no join/shuffle.
@@ -437,6 +549,196 @@ class LakeTable:
             parent=m["version"],
             last_batch_id=batch_id,
             last_scn=max(int((summary or {}).get("scn_max", -1)), m["last_scn"]),
+            summary=smry,
+        )
+        self._commit(new)
+        smry["snapshot_id"] = v
+        return smry
+
+    def _merge_mor(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        batch_id: int,
+        summary: dict | None = None,
+        op_col: str = "op",
+        cols_set_col: str = "cols_set",
+        touched: list[int] | None = None,
+        updates_bucketed: bool = False,
+    ) -> dict:
+        """Merge-on-read MERGE (Iceberg v2 ``write.merge.mode=merge-on-read``).
+
+        Copy-on-write rewrites every touched BUCKET per batch — at 100 TB
+        with small frequent batches that is the dominant write-amplification
+        cost (a 1k-row batch touching 200 buckets rewrites hundreds of GB).
+        MoR instead appends O(batch):
+          * one data-file set holding only the RESOLVED new row images
+            (partial updates still read the matched base rows — same as
+            Iceberg MERGE — but unmatched rows are never rewritten), and
+          * one equality-delete set holding every update's merge key at this
+            commit's data sequence number, which kills all prior versions
+            of those keys at read time (strictly-lower-seq rule).
+        ``read()`` resolves; ``compact()`` folds deletes back into data
+        files (Iceberg rewrite_data_files + rewrite_position_delete_files).
+
+        Same exactly-once contract as CoW: batch_id <= HWM is a skip.
+        """
+        m = self.manifest()
+        if batch_id <= m["last_batch_id"]:
+            return {"operation": "merge", "skipped": True,
+                    "reason": f"batch {batch_id} <= {m['last_batch_id']}"}
+
+        t0 = time.time()
+        cur = StructType.fromJson(m["schema"])
+        key_cols = m["key_cols"]
+        payload_cols = [f.name for f in cur.fields if f.name not in key_cols]
+
+        upd = (updates if updates_bucketed
+               else updates.withColumn(_BUCKET_COL, self.bucket_expr()))
+        if touched is None:
+            touched = sorted(
+                r[0] for r in upd.select(_BUCKET_COL).distinct().collect()
+            )
+        touched = sorted(touched)
+        tset = set(touched)
+        base_has_rows = any(
+            f["bucket"] in tset and f.get("content", "data") == "data"
+            for f in m["files"]
+        )
+        v = m["version"] + 1
+
+        if not base_has_rows:
+            # nothing earlier to resolve against or kill: project directly,
+            # write data only (no delete files) — one job, no join
+            proj = [F.col(k).cast(cur[k].dataType).alias(k) for k in key_cols]
+            for c in payload_cols:
+                fld = cur[c].dataType
+                u_sets = F.array_contains(
+                    F.coalesce(F.col(cols_set_col),
+                               F.array().cast("array<string>")), c)
+                proj.append(
+                    F.when(u_sets, F.col(c).cast(fld))
+                    .otherwise(F.lit(None).cast(fld)).alias(c))
+            proj.append(F.col(_BUCKET_COL))
+            merged = upd.where(F.col(op_col) != "D").select(*proj)
+            data_entries = self._write_data(
+                merged, v, pre_partitioned=updates_bucketed)
+            del_entries: list[dict] = []
+        else:
+            # resolve partial updates against ONLY the matched base rows:
+            # updates LEFT-join base (touched buckets, MoR-resolved read) —
+            # unmatched base rows are never scanned into the output and
+            # never rewritten. Both sides hash on the merge key; at cluster
+            # scale the bucket spec co-locates them.
+            base = self.read(spark, buckets=touched)
+            u, b = upd.alias("u"), base.alias("b")
+            cond = [F.col(f"u.{k}").eqNullSafe(F.col(f"b.{k}"))
+                    for k in key_cols]
+            joined = u.join(b, cond, "left")
+            proj = [F.col(f"u.{k}").cast(cur[k].dataType).alias(k)
+                    for k in key_cols]
+            for c in payload_cols:
+                fld = cur[c].dataType
+                u_sets = F.array_contains(
+                    F.coalesce(F.col(f"u.{cols_set_col}"),
+                               F.array().cast("array<string>")), c)
+                proj.append(
+                    F.when(u_sets, F.col(f"u.{c}").cast(fld))
+                    .when(F.col(f"u.{op_col}") == "RP", F.lit(None).cast(fld))
+                    .otherwise(F.col(f"b.{c}").cast(fld))
+                    .alias(c))
+            proj.append(F.col(f"u.{_BUCKET_COL}").alias(_BUCKET_COL))
+            merged = (
+                joined.where(F.col(f"u.{op_col}") != "D").select(*proj)
+            )
+            data_entries = self._write_data(merged, v)
+            # equality-delete file: EVERY update key (upsert or 'D') kills
+            # prior versions of that key. Reads only the key columns of the
+            # (staged) updates — column-pruned second pass
+            dels = upd.select(
+                *[F.col(k).cast(cur[k].dataType).alias(k) for k in key_cols],
+                F.col(_BUCKET_COL),
+            )
+            del_entries = self._write_data(
+                dels, v, pre_partitioned=updates_bucketed,
+                subdir="-del", content="eq-del",
+            )
+
+        rows_written = sum(e["rows"] for e in data_entries)
+        smry = {
+            "operation": "merge",
+            "mode": "mor",
+            "batch_id": batch_id,
+            "buckets": touched,
+            "rows_written": rows_written,
+            "delete_keys": sum(e["rows"] for e in del_entries),
+            "wall_ms": int((time.time() - t0) * 1000),
+            **(summary or {}),
+        }
+        new = dict(m)
+        new.update(
+            version=v,
+            files=list(m["files"]) + data_entries + del_entries,
+            parent=m["version"],
+            last_batch_id=batch_id,
+            last_scn=max(int((summary or {}).get("scn_max", -1)), m["last_scn"]),
+            summary=smry,
+        )
+        self._commit(new)
+        smry["snapshot_id"] = v
+        return smry
+
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None,
+                summary: dict | None = None) -> dict:
+        """Fold merge-on-read deltas back into plain data files (Iceberg
+        ``rewrite_data_files`` + ``rewrite_position_delete_files``): rewrite
+        every candidate bucket's resolved rows as fresh data files in ONE
+        snapshot, dropping its equality-delete files and stacked data
+        generations. Maintenance commit — watermarks preserved (a compaction
+        never licenses re-applying batches), old snapshots still readable
+        until expire_snapshots.
+
+        Candidates default to buckets carrying any delete file or more than
+        one data file. Run it on a cadence (streaming: ``compact_every``)
+        so the read-side resolve stays one small broadcast join.
+        """
+        m = self.manifest()
+        per_bucket_files: dict[int, int] = {}
+        del_buckets: set[int] = set()
+        for f in m["files"]:
+            if f.get("content") == "eq-del":
+                del_buckets.add(f["bucket"])
+            else:
+                per_bucket_files[f["bucket"]] = \
+                    per_bucket_files.get(f["bucket"], 0) + 1
+        cands = sorted(
+            del_buckets | {b for b, n in per_bucket_files.items() if n > 1}
+        ) if buckets is None else sorted(set(buckets))
+        if not cands:
+            return {"operation": "compact", "skipped": True,
+                    "reason": "no delete files or stacked generations"}
+        t0 = time.time()
+        cset = set(cands)
+        removed = [f for f in m["files"] if f["bucket"] in cset]
+        df = self.read(spark, buckets=cands).withColumn(
+            _BUCKET_COL, self.bucket_expr())
+        v = m["version"] + 1
+        entries = self._write_data(df, v)
+        smry = {
+            "operation": "compact",
+            "buckets": cands,
+            "files_removed": len(removed),
+            "delete_files_removed": sum(
+                1 for f in removed if f.get("content") == "eq-del"),
+            "rows": sum(e["rows"] for e in entries),
+            "wall_ms": int((time.time() - t0) * 1000),
+            **(summary or {}),
+        }
+        new = dict(m)
+        new.update(
+            version=v,
+            files=[f for f in m["files"] if f["bucket"] not in cset] + entries,
+            parent=m["version"],
             summary=smry,
         )
         self._commit(new)

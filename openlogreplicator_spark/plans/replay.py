@@ -40,7 +40,8 @@ def bootstrap_target(path: str, cfg: EngineConfig) -> LakeTable:
     from openlogreplicator_spark.feed import TRANSCRIPTS_SCHEMA
 
     return LakeTable.create(
-        path, TRANSCRIPTS_SCHEMA, list(cfg.key_cols), num_buckets=cfg.num_buckets
+        path, TRANSCRIPTS_SCHEMA, list(cfg.key_cols),
+        num_buckets=cfg.num_buckets, write_mode=cfg.merge_mode,
     )
 
 

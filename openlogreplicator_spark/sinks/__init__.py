@@ -7,3 +7,8 @@ from openlogreplicator_spark.sinks.kafka import (  # noqa: F401
     kafka_records,
     produce,
 )
+from openlogreplicator_spark.sinks.protobuf_stream import (  # noqa: F401
+    protobuf_stream_messages,
+    protobuf_stream_ops,
+    write_protobuf_stream,
+)

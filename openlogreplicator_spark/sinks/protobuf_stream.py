@@ -1,0 +1,280 @@
+"""Protobuf change-stream serializer (O2) — hand-rolled proto3 wire format.
+
+Reference parity: OpenLogReplicator's second output format serializes each
+change as an ``OpenLogReplicator.pb.RedoResponse`` protobuf
+(/root/reference/proto/OraProtoBuf.proto:118-152 message layout;
+/root/reference/src/OutputBufferProtobuf.cpp:278-560 the builder — one
+response per op, or BEGIN..ops..COMMIT payloads per transaction in
+"message":1 mode; :49-99 column values map onto ``Value`` with a name +
+oneof{value_int,value_float,value_double,value_string,value_bytes}).
+
+This sandbox has no protobuf runtime, and the wire format is small enough
+that depending on one would be overkill: proto3 encoding is just varints
+and length-delimited blocks (https://protobuf.dev/programming-guides/encoding/).
+The encoder below emits byte-exact proto3 messages against the reference's
+field numbers, so any consumer holding OraProtoBuf.proto decodes them with
+a stock protobuf library.
+
+Spark shape: serialization is genuinely inexpressible in SQL expressions
+(byte-level varint packing), so it runs as an Arrow-batched ``mapInPandas``
+kernel — the engine's standing rule: no per-row Python UDFs, Python only as
+vectorized Arrow kernels. The kernel is a map-only stage over the assembled
+ops (per-op mode: zero shuffle; per-tx mode: the same single (xid,
+commit_scn) groupBy the JSON sink pays).
+
+Field numbers (OraProtoBuf.proto):
+  RedoResponse: code=1 scn=2 scns=3 tm=4 tms=5 xid=6 xidn=7 payload=8
+  Payload:      op=1 schema=2 rid=3 before=4 after=5 ddl=6
+  Schema:       owner=1 name=2 obj=3 tm=4 tms=5 column=6
+  Value:        name=1 value_int=2 value_float=3 value_double=4
+                value_string=5 value_bytes=6
+  enum Op:      BEGIN=0 COMMIT=1 INSERT=2 UPDATE=3 DELETE=4 DDL=5
+  enum ResponseCode: PAYLOAD=5
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from openlogreplicator_spark.config import EngineConfig
+
+# ------------------------------------------------------------ wire encoding
+
+_PAYLOAD_CODE = 5  # ResponseCode.PAYLOAD
+_OP_ENUM = {"BEGIN": 0, "COMMIT": 1, "I": 2, "U": 3, "D": 4, "DDL": 5}
+
+
+def _varint(n: int) -> bytes:
+    """proto3 base-128 varint (non-negative; int64 negatives take the
+    two's-complement 10-byte form, same as protobuf's WriteVarint64)."""
+    if n < 0:
+        n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2): strings, bytes, sub-messages."""
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _vint(field: int, n: int) -> bytes:
+    """Varint field (wire type 0). proto3 default-suppression: zero is
+    omitted by the standard serializer — callers skip zeros themselves."""
+    return _tag(field, 0) + _varint(n)
+
+
+def _value(name: str, v) -> bytes:
+    """One ``Value`` message: name + oneof datum by python type (mirrors
+    OutputBufferProtobuf.cpp:49-99 valueInt/valueDouble/valueString)."""
+    import numpy as np
+
+    out = _ld(1, name.encode("utf-8"))
+    if v is None:
+        return out  # name-only: NULL column (reference columnNull, :48-53)
+    if isinstance(v, (bool, np.bool_)):
+        out += _vint(2, int(v))
+    elif isinstance(v, (int, np.integer)):
+        if int(v) != 0:  # proto3 zero-default suppression
+            out += _vint(2, int(v))
+    elif isinstance(v, (float, np.floating)):
+        if v != v:  # NaN -> NULL column
+            return out
+        out += _tag(4, 1) + struct.pack("<d", float(v))  # value_double
+    elif isinstance(v, (bytes, bytearray)):
+        out += _ld(6, bytes(v))
+    else:
+        if v != v:  # pandas NaT (null timestamp inside an Arrow struct)
+            return out
+        s = str(v).encode("utf-8")
+        if s:
+            out += _ld(5, s)
+    return out
+
+
+def _schema_msg(owner: str, table: str) -> bytes:
+    return _ld(1, owner.encode("utf-8")) + _ld(2, table.encode("utf-8"))
+
+
+def _payload_msg(op_enum: int, schema: bytes | None,
+                 before: list[bytes] = (), after: list[bytes] = (),
+                 ddl: str | None = None) -> bytes:
+    out = b"" if op_enum == 0 else _vint(1, op_enum)  # BEGIN=0 suppressed
+    if schema is not None:
+        out += _ld(2, schema)
+    for v in before:
+        out += _ld(4, v)
+    for v in after:
+        out += _ld(5, v)
+    if ddl:
+        out += _ld(6, ddl.encode("utf-8"))
+    return out
+
+
+def _response(scn: int, xid: str, payloads: list[bytes]) -> bytes:
+    out = _vint(1, _PAYLOAD_CODE)
+    if scn:
+        out += _vint(2, int(scn))
+    out += _ld(6, str(xid).encode("utf-8"))
+    for p in payloads:
+        out += _ld(8, p)
+    return out
+
+
+# ------------------------------------------------------- dataframe operators
+
+def _op_payload(row_op: str, owner: str, table: str, key: dict,
+                after: dict, cols_set) -> bytes:
+    """Payload for one DML op. INSERT/UPDATE carry ``after`` values for the
+    key + every column named in cols_set; DELETE carries the key as
+    ``before`` (the reference's delete emits before-images,
+    OutputBufferProtobuf.cpp:541-560)."""
+    schema = _schema_msg(owner, table)
+    kv = [_value(k, v) for k, v in key.items()]
+    if row_op == "D":
+        return _payload_msg(_OP_ENUM["D"], schema, before=kv)
+    av = list(kv)
+    for c in (cols_set or []):
+        av.append(_value(c, (after or {}).get(c)))
+    return _payload_msg(_OP_ENUM[row_op if row_op in _OP_ENUM else "U"],
+                        schema, after=av)
+
+
+def protobuf_stream_ops(
+    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
+    key_cols: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """Per-op protobuf messages ("message":0): one RedoResponse per DML.
+    Map-only (no shuffle). Output: (scn, commit_scn, xid, value binary)."""
+    kc = list(key_cols or cfg.key_cols)
+    table_lit = cfg.table_filter[0] if cfg.table_filter else "?"
+    has_table = "table" in assembled.columns
+    src = assembled.select(
+        "scn", "commit_scn", "xid", "op", "cols_set",
+        (F.col("table") if has_table else F.lit(table_lit)).alias("table"),
+        F.struct(*[F.col(k) for k in kc]).alias("key"),
+        F.col("after"),
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            vals = [
+                _response(
+                    int(r.commit_scn), r.xid,
+                    [_op_payload(r.op, owner, r.table, dict(r.key),
+                                 dict(r.after) if r.after is not None else {},
+                                 list(r.cols_set) if r.cols_set is not None
+                                 else None)],
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame({
+                "scn": pdf["scn"], "commit_scn": pdf["commit_scn"],
+                "xid": pdf["xid"], "value": vals,
+            })
+
+    return src.mapInPandas(
+        encode, "scn long, commit_scn long, xid string, value binary")
+
+
+def protobuf_stream_messages(
+    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
+    key_cols: "tuple[str, ...] | None" = None,
+    max_ops_per_message: int | None = None,
+) -> DataFrame:
+    """Per-transaction protobuf messages ("message":1): one RedoResponse per
+    committed transaction with payloads [BEGIN, ops..., COMMIT] in (scn, seq)
+    order (OutputBufferProtobuf.cpp:278-337 processBegin/processCommit
+    bracket the ops). ``max_ops_per_message`` force-splits giant
+    transactions exactly like the JSON sink's M1 budget — continuation
+    responses carry only their op slice (BEGIN rides the first chunk,
+    COMMIT the last). Output: (commit_scn, xid, n_ops, msg_seq, n_msgs,
+    value binary)."""
+    kc = list(key_cols or cfg.key_cols)
+    table_lit = cfg.table_filter[0] if cfg.table_filter else "?"
+    has_table = "table" in assembled.columns
+    op_struct = F.struct(
+        F.col("scn"), F.col("seq"), F.col("op"), F.col("cols_set"),
+        (F.col("table") if has_table else F.lit(table_lit)).alias("table"),
+        F.struct(*[F.col(k) for k in kc]).alias("key"),
+        F.col("after"),
+    )
+    per_tx = assembled.groupBy("xid", "commit_scn").agg(
+        F.array_sort(F.collect_list(op_struct)).alias("ops")
+    )
+    if max_ops_per_message is None:
+        chunked = per_tx.select(
+            "xid", "commit_scn", F.lit(1).alias("n_msgs"),
+            F.lit(0).alias("msg_seq"), F.col("ops").alias("chunk"),
+        )
+    else:
+        if max_ops_per_message < 1:
+            raise ValueError("max_ops_per_message must be >= 1")
+        cap = int(max_ops_per_message)
+        n_msgs = F.ceil(F.size("ops") / F.lit(cap)).cast("int")
+        chunked = per_tx.select(
+            "xid", "commit_scn", n_msgs.alias("n_msgs"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_msgs - 1),
+                    lambda i: F.slice(F.col("ops"), i * cap + 1, cap),
+                )
+            ).alias("msg_seq", "chunk"),
+        )
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            vals, n_ops = [], []
+            for r in pdf.itertuples():
+                payloads = []
+                if r.msg_seq == 0:
+                    payloads.append(_payload_msg(_OP_ENUM["BEGIN"], None))
+                for o in r.chunk:
+                    payloads.append(_op_payload(
+                        o["op"], owner, o["table"], dict(o["key"]),
+                        dict(o["after"]) if o["after"] is not None else {},
+                        list(o["cols_set"]) if o["cols_set"] is not None
+                        else None))
+                if r.msg_seq == r.n_msgs - 1:
+                    payloads.append(_payload_msg(_OP_ENUM["COMMIT"], None))
+                vals.append(_response(int(r.commit_scn), r.xid, payloads))
+                n_ops.append(len(r.chunk))
+            yield pd.DataFrame({
+                "commit_scn": pdf["commit_scn"], "xid": pdf["xid"],
+                "n_ops": n_ops, "msg_seq": pdf["msg_seq"],
+                "n_msgs": pdf["n_msgs"], "value": vals,
+            })
+
+    return chunked.mapInPandas(
+        encode,
+        "commit_scn long, xid string, n_ops int, msg_seq int, n_msgs int,"
+        " value binary",
+    )
+
+
+def write_protobuf_stream(messages: DataFrame, path: str,
+                          mode: str = "overwrite") -> None:
+    """File sink for the binary stream: parquet with a ``value`` binary
+    column (a newline-framed text file cannot carry arbitrary bytes; the
+    reference's network writers frame with a length prefix instead —
+    WriterService.cpp. The Kafka analog publishes ``value`` directly)."""
+    (messages.sortWithinPartitions("commit_scn")
+     .write.mode(mode).parquet(path))

@@ -238,6 +238,17 @@ class CDCStreamPipeline:
             batch_id,
         )
 
+        # merge-on-read maintenance cadence: every N committed batches, fold
+        # delete files / stacked generations back into plain data files.
+        # Runs AFTER the batch's merges; not batch-id-gated (a crash here
+        # just defers the compaction — candidates persist, correctness
+        # never depends on it)
+        if self.cfg.compact_every and (batch_id + 1) % self.cfg.compact_every == 0:
+            for tbl in (self.tables.values() if self.tables is not None
+                        else [self.table]):
+                summaries.append(tbl.compact(
+                    spark, summary={"trigger_batch": int(batch_id)}))
+
         self._write_lineage(spark, batch_id, part_stats, summaries,
                             wall_ms=int((time.time() - t0) * 1000))
         if ctl_seen:
