@@ -959,6 +959,33 @@ def _q_doc_fingerprint(spark, sf_dir):
     return T.fingerprint(_tbl(spark, sf_dir, "documents"))
 
 
+def _q_text_pii_redact(spark, sf_dir):
+    """Map-only PII scrub (email/SSN/IPv4/phone) with per-class counts —
+    the pre-training hygiene pass; RE2-and-Java-compatible patterns make
+    the DuckDB oracle exact."""
+    from openlogreplicator_spark.functions.cleaning import redact_pii
+
+    return redact_pii(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_text_repetition(spark, sf_dir):
+    """Duplicate-3-gram load per doc (Gopher repetition filter inputs)."""
+    from openlogreplicator_spark.functions.cleaning import repetition_stats
+
+    return repetition_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_text_contamination(spark, sf_dir):
+    """Benchmark decontamination: shingle overlap vs an eval set (stood in
+    by the doc_id % 17 == 0 slice, self-matches included deliberately —
+    the op is corpus-vs-benchmark, not self-join)."""
+    from openlogreplicator_spark.functions.cleaning import contamination_stats
+
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return contamination_stats(docs, bench)
+
+
 def _q_winnow_fp(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
     return T.winnow_fingerprints(docs, k=5, window=4)
@@ -1080,6 +1107,9 @@ _TRAINING_QUERIES = {
     "text_quality": _q_text_quality,
     "text_lang_id": _q_text_lang_id,
     "doc_fingerprint": _q_doc_fingerprint,
+    "text_pii_redact": _q_text_pii_redact,
+    "text_repetition": _q_text_repetition,
+    "text_contamination": _q_text_contamination,
     "winnow_fp": _q_winnow_fp,
     "multimodal_meta": _q_multimodal_meta,
     "dedup_cluster": _q_dedup_cluster,
@@ -1447,6 +1477,66 @@ _TRAINING_ORACLES = {
     """,
     "text_quality": _quality_sql(),
     "text_lang_id": _lang_id_sql(),
+    # PII scrub: classes counted on the text AFTER earlier classes were
+    # replaced (mirrors functions/cleaning.py pass order exactly)
+    "text_pii_redact": r"""
+        WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+        s1 AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+            AS n_email,
+          regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+            '<EMAIL>', 'g') AS t
+          FROM s0),
+        s2 AS (SELECT doc_id, n_email,
+          CAST(len(regexp_extract_all(t,
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+          regexp_replace(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')
+            AS t
+          FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ssn,
+          CAST(len(regexp_extract_all(t,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+            AS n_ip,
+          regexp_replace(t,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+            AS t
+          FROM s2),
+        s4 AS (SELECT doc_id, n_email, n_ssn, n_ip,
+          CAST(len(regexp_extract_all(t,
+            '\+?[0-9][0-9\- ]{7,}[0-9]')) AS BIGINT) AS n_phone,
+          regexp_replace(t, '\+?[0-9][0-9\- ]{7,}[0-9]', '<PHONE>', 'g') AS t
+          FROM s3)
+        SELECT doc_id, t AS clean_text, n_email, n_ssn, n_ip, n_phone,
+               n_email + n_ssn + n_ip + n_phone AS n_pii
+        FROM s4
+    """,
+    # duplicate-3-gram load (multiplicity-bearing grams, unlike sh's
+    # DISTINCT shingles)
+    "text_repetition": _DOCS_SQL + r"""
+        , g AS (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks WHERE len(w) >= 3
+        ), pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_gram_count
+        FROM pg GROUP BY doc_id
+    """,
+    # shingle overlap vs the doc_id % 17 == 0 eval slice
+    "text_contamination": _DOCS_SQL + r"""
+        , bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        hits AS (
+          SELECT sh.doc_id, COUNT(*) AS n_contaminated
+          FROM sh JOIN bench ON sh.s = bench.s GROUP BY 1
+        ), tot AS (
+          SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+        )
+        SELECT tot.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated
+        FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+    """,
     "doc_fingerprint": _DOCS_SQL + """
         SELECT doc_id, md5(t) AS fp FROM norm
     """,

@@ -1,12 +1,15 @@
 """CoW vs MoR write-amplification probe: probe_mor.py <cores> <n_txs> <n_batches>.
 
-Replays the same generated feed in scn-ordered microbatches against a
-copy-on-write table and a merge-on-read table (+ one final compact), and
-reports per-mode: wall seconds, TOTAL data-file rows written across all
-commits (the write-amplification number), bytes written, and final-state
-row count. The steady-state claim under test: CoW rewrites every touched
-bucket per batch (O(table) per batch once buckets fill), MoR writes
-O(batch) plus one bounded compaction.
+Measures the STEADY-STATE CDC regime the two modes actually differ in:
+bootstrap a large table from the first 90% of the feed (identical cost in
+both modes, excluded from the comparison), then apply the last 10% as
+``n_batches`` small scn-ordered microbatches and compare per-mode
+steady-state wall seconds and TOTAL data-file rows/bytes written by those
+batches (+ one final MoR compact, included honestly in both numbers).
+
+The claim under test: per small batch, CoW rewrites every touched bucket
+(~= the whole table once keys spray across buckets), MoR writes O(batch);
+compaction amortizes the fold-back over the cadence.
 """
 import json
 import os
@@ -43,24 +46,15 @@ feed = generate_change_events(
     spark, n_txs=ntx, n_convs=max(ntx // 10, 10), payload_chars=200
 )
 n = feed.count()
-# scn-ordered batch boundaries (cumulative slices; hwm dedups re-applies)
+# scn split: 90% bootstrap, then n_batches equal slices of the tail
+fracs = [0.9] + [0.9 + 0.1 * (i + 1) / n_batches for i in range(n_batches)]
 bounds = list(feed.selectExpr(
-    f"percentile(scn, array({','.join(str((i + 1) / n_batches) for i in range(n_batches))}))"
+    f"percentile(scn, array({','.join(str(f) for f in fracs)}))"
 ).first()[0])
 
 
-def run(mode):
-    cfg = EngineConfig(num_buckets=64, merge_mode=mode)
-    tmp = tempfile.mkdtemp(prefix=f"olr_mor_probe_{mode}_")
-    t = bootstrap_target(tmp, cfg)
-    t0 = time.time()
-    for i, hi in enumerate(bounds):
-        replay_batch(spark, feed.where(feed.scn <= hi), t, cfg, batch_id=i)
-    if mode == "mor":
-        t.compact(spark)
-    dt = time.time() - t0
-    # total rows/bytes ever written = sum over all snapshots' NEW files
-    seen, rows_written, bytes_written, files = set(), 0, 0, 0
+def _stats(t, from_version):
+    seen, rows_w, bytes_w, files = set(), 0, 0, 0
     for v in range(t.current_version() + 1):
         try:
             m = t.manifest(v)
@@ -70,20 +64,43 @@ def run(mode):
             if f["path"] in seen:
                 continue
             seen.add(f["path"])
-            rows_written += f["rows"]
+            if v <= from_version:
+                continue  # bootstrap files excluded
+            rows_w += f["rows"]
             files += 1
             p = os.path.join(t.path, f["path"])
             if os.path.exists(p):
-                bytes_written += os.path.getsize(p)
+                bytes_w += os.path.getsize(p)
+    return rows_w, bytes_w, files
+
+
+def run(mode):
+    cfg = EngineConfig(num_buckets=64, merge_mode=mode)
+    tmp = tempfile.mkdtemp(prefix=f"olr_mor_probe_{mode}_")
+    t = bootstrap_target(tmp, cfg)
+    replay_batch(spark, feed.where(feed.scn <= bounds[0]), t, cfg, batch_id=0)
+    boot_version = t.current_version()
+    table_rows = t.read(spark).count()
+
+    t0 = time.time()
+    for i, hi in enumerate(bounds[1:]):
+        replay_batch(spark, feed.where(feed.scn <= hi), t, cfg, batch_id=i + 1)
+    if mode == "mor":
+        t.compact(spark)
+    dt = time.time() - t0
+
+    rows_w, bytes_w, files = _stats(t, boot_version)
     final_rows = t.read(spark).count()
     shutil.rmtree(tmp, ignore_errors=True)
-    return dict(mode=mode, sec=round(dt, 1), eps=round(n / dt),
-                rows_written=rows_written, mb_written=round(bytes_written / 1e6, 1),
+    return dict(mode=mode, steady_sec=round(dt, 1),
+                table_rows_at_steady=table_rows,
+                rows_written=rows_w, mb_written=round(bytes_w / 1e6, 1),
                 files=files, final_rows=final_rows)
 
 
-out = {"events": n, "batches": n_batches, "cores": cores,
+out = {"events": n, "steady_batches": n_batches, "cores": cores,
        "cow": run("cow"), "mor": run("mor")}
 out["write_amp_ratio"] = round(
     out["cow"]["rows_written"] / max(out["mor"]["rows_written"], 1), 2)
+assert out["cow"]["final_rows"] == out["mor"]["final_rows"]
 print("RESULT", json.dumps(out))
