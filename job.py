@@ -59,6 +59,11 @@ def main(argv: list[str]) -> None:
     p.add_argument("--conversations-dir")
     # table maintenance: expire superseded CoW snapshots after the run
     p.add_argument("--expire-keep", type=int)
+    # MERGE strategy (Iceberg write.merge.mode): cow rewrites touched
+    # buckets, mor appends data + equality-delete files (write-optimized);
+    # --compact-every folds MoR deltas back every N streaming batches
+    p.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--compact-every", type=int)
     args = p.parse_args(argv)
 
     from openlogreplicator_spark.config import EngineConfig
@@ -70,6 +75,7 @@ def main(argv: list[str]) -> None:
     cfg = EngineConfig(
         start_scn=args.start_scn, start_seq=args.start_seq,
         start_ts=args.start_ts,
+        merge_mode=args.merge_mode, compact_every=args.compact_every,
     )
 
     if args.mode == "replay":
@@ -92,6 +98,8 @@ def main(argv: list[str]) -> None:
             print("RETRY", json.dumps(s))
         print("ROWS", table.read(spark).count())
         print("SNAPSHOTS", json.dumps(table.snapshots()[-3:]))
+        if args.merge_mode == "mor":
+            print("COMPACT", json.dumps(table.compact(spark)))
         if args.expire_keep:
             print("EXPIRE", json.dumps(
                 table.expire_snapshots(keep_last=args.expire_keep)))

@@ -1,0 +1,133 @@
+"""Charset transcode (C1) — Oracle character-set names onto real decoders.
+
+The reference carries ~6.6k lines of hand-rolled decode tables
+(/root/reference/src/CharacterSet*.cpp: 7-bit/8-bit/16-bit maps,
+AL32UTF8, JA16SJIS, ZHS16GBK, ...; Schema column charsetId dispatches a
+table per column) because a C++ process has no charset runtime. Here C1
+is a name map plus a projection:
+
+  * the ANSI core sets (UTF-8/16/32, ASCII, ISO-8859-1) run through
+    ``F.decode``/``F.encode`` — whole-stage codegen, zero Python;
+  * every other set the reference implements (windows-125x, ISO-8859-x,
+    Shift_JIS, EUC-JP, GBK, Big5, cp949, TIS-620) runs through an
+    Arrow-batched pandas kernel over Python's codec machinery (Spark 4's
+    ANSI mode rejects them JVM-side unless the session opts into
+    ``spark.sql.legacy.javaCharsets``; the kernel needs no session flag).
+
+Both paths are map-only: no shuffle at any corpus size. Unknown charset
+names raise at PLAN TIME (reference parity: OLR refuses to start on an
+unsupported charsetId rather than corrupt text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# charsets Spark's ANSI-mode decode/encode accepts natively (codegen path)
+CORE_JVM = {"UTF-8", "US-ASCII", "ISO-8859-1", "UTF-16", "UTF-16BE",
+            "UTF-16LE", "UTF-32"}
+
+# Oracle charset name -> canonical decoder name (Python codec + JVM where
+# core). The sets mirror the reference's CharacterSet*.cpp inventory;
+# ZHT32EUC (EUC-TW) has no stdlib codec and is rejected explicitly.
+ORACLE_TO_CHARSET: dict[str, str] = {
+    "AL32UTF8": "UTF-8",
+    "UTF8": "UTF-8",           # CESU-8 in Oracle; UTF-8 for BMP payloads
+    "AL16UTF16": "UTF-16BE",   # CharacterSetAL16UTF16.cpp: big-endian
+    "US7ASCII": "US-ASCII",
+    "WE8ISO8859P1": "ISO-8859-1",
+    "EE8ISO8859P2": "ISO-8859-2",
+    "NEE8ISO8859P4": "ISO-8859-4",
+    "CL8ISO8859P5": "ISO-8859-5",
+    "AR8ISO8859P6": "ISO-8859-6",
+    "EL8ISO8859P7": "ISO-8859-7",
+    "IW8ISO8859P8": "ISO-8859-8",
+    "WE8ISO8859P9": "ISO-8859-9",
+    "WE8ISO8859P15": "ISO-8859-15",
+    "WE8MSWIN1252": "windows-1252",
+    "EE8MSWIN1250": "windows-1250",
+    "CL8MSWIN1251": "windows-1251",
+    "EL8MSWIN1253": "windows-1253",
+    "IW8MSWIN1255": "windows-1255",
+    "AR8MSWIN1256": "windows-1256",
+    "BLT8MSWIN1257": "windows-1257",
+    "JA16SJIS": "Shift_JIS",
+    "JA16EUC": "EUC-JP",
+    "KO16MSWIN949": "cp949",
+    "ZHS16GBK": "GBK",
+    "ZHT16MSWIN950": "Big5",
+    "TH8TISASCII": "tis-620",
+}
+
+
+def resolve_charset(oracle_name: str) -> str:
+    """Resolve an Oracle charset name (or a raw codec name) — raises on
+    unknown, at plan time, before any data moves."""
+    name = oracle_name.strip()
+    if name.upper() in ORACLE_TO_CHARSET:
+        return ORACLE_TO_CHARSET[name.upper()]
+    import codecs
+
+    try:
+        codecs.lookup(name)
+        return name
+    except LookupError:
+        raise ValueError(
+            f"unsupported character set {oracle_name!r} "
+            f"(known Oracle names: {sorted(ORACLE_TO_CHARSET)})"
+        ) from None
+
+
+def _pandas_decode(charset: str) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dec(s):
+        return s.map(lambda b: None if b is None
+                     else bytes(b).decode(charset))
+
+    return dec
+
+
+def _pandas_encode(charset: str):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s):
+        return s.map(lambda t: None if t is None else t.encode(charset))
+
+    return enc
+
+
+def decode_text(col: Column, charset: str) -> Column:
+    """binary -> string under the named Oracle charset (C1 decode).
+    Core sets stay JVM-side; extended sets run the Arrow kernel."""
+    cs = resolve_charset(charset)
+    if cs.upper() in CORE_JVM:
+        return F.decode(col, cs)
+    return _pandas_decode(cs)(col)
+
+
+def encode_text(col: Column, charset: str) -> Column:
+    """string -> binary under the named Oracle charset."""
+    cs = resolve_charset(charset)
+    if cs.upper() in CORE_JVM:
+        return F.encode(col, cs)
+    return _pandas_encode(cs)(col)
+
+
+def transcode(col: Column, from_charset: str,
+              to_charset: str = "AL32UTF8") -> Column:
+    """Re-encode a binary payload between charsets (the reference's
+    parseString per-column transcode, CharacterSet.cpp). Map-only."""
+    return encode_text(decode_text(col, from_charset), to_charset)
+
+
+def transcode_columns(df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    """Per-column charset map (the reference's Schema charsetId-per-column
+    dispatch): ``columns`` maps binary column name -> source charset; each
+    becomes a decoded UTF-8 string column in place."""
+    out = df
+    for c, cs in columns.items():
+        out = out.withColumn(c, decode_text(F.col(c), cs))
+    return out

@@ -48,6 +48,7 @@ _POINTER = "_current"
 _DATA_DIR = "data"
 _BUCKET_COL = "_b"
 _SEQ_COL = "_olr_seq"
+_CONTENT_COL = "_olr_content"
 _WRITE_MODE_PROP = "write.merge.mode"  # Iceberg table property of the same name
 
 # deterministic seed for the bucket hash — must never change for a table's life.
@@ -386,6 +387,55 @@ class LakeTable:
             entries = [e for e in ex.map(stat, paths) if e["rows"] > 0]
         return entries
 
+    def _write_data_mixed(self, df: DataFrame, version: int) -> tuple:
+        """ONE Spark job writing new data rows and equality-delete keys
+        together: ``df`` carries ``_olr_content`` ('data' | 'eq-del') and
+        ``_b``; output is partitioned by (content, bucket). Halves the
+        per-batch job count of a MoR merge vs. two separate writes (and
+        scans the staged updates once). Delete rows carry NULL payload
+        columns — readers bind delete files with a key-only schema, so
+        the all-null columns are pruned, costing only parquet null runs.
+
+        Returns (data_entries, delete_entries)."""
+        import pyarrow.parquet as pq
+
+        rel = os.path.join(_DATA_DIR, f"v{version}")
+        out_dir = os.path.join(self.path, rel)
+        (df.repartition(self.num_buckets, F.col(_BUCKET_COL))
+         .write.mode("overwrite")
+         .partitionBy(_CONTENT_COL, _BUCKET_COL).parquet(out_dir))
+        paths = []
+        for root, _dirs, names in os.walk(out_dir):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                b_dir = os.path.basename(root)
+                c_dir = os.path.basename(os.path.dirname(root))
+                paths.append((os.path.join(root, n),
+                              c_dir.split("=")[1],
+                              int(b_dir.split("=")[1])))
+        sid = self.manifest()["schema_id"]
+
+        def stat(item):
+            full, content, bucket = item
+            e = {
+                "path": os.path.relpath(full, self.path),
+                "bucket": bucket,
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "schema_id": sid,
+                "seq": version,
+            }
+            if content != "data":
+                e["content"] = content
+            return e
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
+            entries = [e for e in ex.map(stat, paths) if e["rows"] > 0]
+        return ([e for e in entries if e.get("content", "data") == "data"],
+                [e for e in entries if e.get("content") == "eq-del"])
+
     def overwrite(self, df: DataFrame, batch_id: int = -1,
                   summary: dict | None = None) -> dict:
         """Replace the whole table content (bootstrap / test helper)."""
@@ -650,19 +700,21 @@ class LakeTable:
             proj.append(F.col(f"u.{_BUCKET_COL}").alias(_BUCKET_COL))
             merged = (
                 joined.where(F.col(f"u.{op_col}") != "D").select(*proj)
+                .withColumn(_CONTENT_COL, F.lit("data"))
             )
-            data_entries = self._write_data(merged, v)
-            # equality-delete file: EVERY update key (upsert or 'D') kills
-            # prior versions of that key. Reads only the key columns of the
-            # (staged) updates — column-pruned second pass
+            # equality-delete rows: EVERY update key (upsert or 'D') kills
+            # prior versions of that key. Unioned with the data rows so
+            # both file sets land in ONE job (payload columns NULL on the
+            # delete rows; readers bind delete files key-only)
             dels = upd.select(
                 *[F.col(k).cast(cur[k].dataType).alias(k) for k in key_cols],
+                *[F.lit(None).cast(cur[c].dataType).alias(c)
+                  for c in payload_cols],
                 F.col(_BUCKET_COL),
+                F.lit("eq-del").alias(_CONTENT_COL),
             )
-            del_entries = self._write_data(
-                dels, v, pre_partitioned=updates_bucketed,
-                subdir="-del", content="eq-del",
-            )
+            data_entries, del_entries = self._write_data_mixed(
+                merged.unionByName(dels), v)
 
         rows_written = sum(e["rows"] for e in data_entries)
         smry = {

@@ -235,6 +235,44 @@ def main() -> None:
                          F.array(F.lit(0.5), F.lit(0.95))).alias("p"))),
     ))
 
+    # ------------------------------------------------------ round 3 additions
+    from openlogreplicator_spark.functions.cleaning import (
+        contamination_stats, redact_pii, repetition_stats,
+    )
+
+    cfg_mor = EngineConfig(num_buckets=4, merge_mode="mor")
+    mor_tbl = bootstrap_target(f"{tmp}/mor_tbl", cfg_mor)
+    replay_batch(spark, tagged.where(F.col("_t") <= mid).drop("_t"),
+                 mor_tbl, cfg_mor, batch_id=0)
+    replay_batch(spark, tagged.drop("_t"), mor_tbl, cfg_mor, batch_id=1)
+    sections.append((
+        "merge-on-read resolve read — stacked data generations unioned "
+        "(each tagged with its data sequence number); delete keys "
+        "aggregated to max-seq and BROADCAST into one left join + filter, "
+        "so resolve cost is independent of how many MoR commits are "
+        "stacked; compaction returns the plan to a bare scan",
+        explain(mor_tbl.read(spark)),
+    ))
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sections.append((
+        "PII redaction — pure projection (regexp_count/replace chains in "
+        "codegen): no exchange, no Python; a 100 TB scrub is one scan",
+        explain(redact_pii(docs)),
+    ))
+    sections.append((
+        "benchmark decontamination — corpus shingles left-semi-joined "
+        "against the BROADCAST eval-set shingles; the corpus never "
+        "shuffles for the membership test (only the per-doc count agg)",
+        explain(contamination_stats(docs,
+                                    docs.where(F.col("doc_id") % 17 == 0))),
+    ))
+    sections.append((
+        "repetition stats — two-stage aggregate (per-(doc,gram) then "
+        "per-doc) with map-side partial aggregation at both stages",
+        explain(repetition_stats(docs)),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans of key operators\n\n")

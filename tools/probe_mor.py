@@ -74,8 +74,9 @@ def _stats(t, from_version):
     return rows_w, bytes_w, files
 
 
-def run(mode):
-    cfg = EngineConfig(num_buckets=64, merge_mode=mode)
+def run(mode, compact_every=None):
+    engine_mode = "mor" if mode.startswith("mor") else "cow"
+    cfg = EngineConfig(num_buckets=64, merge_mode=engine_mode)
     tmp = tempfile.mkdtemp(prefix=f"olr_mor_probe_{mode}_")
     t = bootstrap_target(tmp, cfg)
     replay_batch(spark, feed.where(feed.scn <= bounds[0]), t, cfg, batch_id=0)
@@ -85,7 +86,9 @@ def run(mode):
     t0 = time.time()
     for i, hi in enumerate(bounds[1:]):
         replay_batch(spark, feed.where(feed.scn <= hi), t, cfg, batch_id=i + 1)
-    if mode == "mor":
+        if compact_every and (i + 1) % compact_every == 0:
+            t.compact(spark)
+    if engine_mode == "mor":
         t.compact(spark)
     dt = time.time() - t0
 
@@ -99,8 +102,12 @@ def run(mode):
 
 
 out = {"events": n, "steady_batches": n_batches, "cores": cores,
-       "cow": run("cow"), "mor": run("mor")}
+       "cow": run("cow"), "mor": run("mor"),
+       "mor_cadence4": run("mor_cadence4", compact_every=4)}
 out["write_amp_ratio"] = round(
     out["cow"]["rows_written"] / max(out["mor"]["rows_written"], 1), 2)
-assert out["cow"]["final_rows"] == out["mor"]["final_rows"]
+out["write_amp_ratio_cadence"] = round(
+    out["cow"]["rows_written"] / max(out["mor_cadence4"]["rows_written"], 1), 2)
+assert out["cow"]["final_rows"] == out["mor"]["final_rows"] \
+    == out["mor_cadence4"]["final_rows"]
 print("RESULT", json.dumps(out))
