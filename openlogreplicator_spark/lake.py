@@ -324,12 +324,16 @@ class LakeTable:
         # AQE plan it
         if sum(int(f["rows"]) for f in dels) <= 2_000_000:
             dagg = F.broadcast(dagg)
+        # eqNullSafe key match — the same null semantics the CoW merge
+        # resolve uses, so a null-keyed row cannot dodge its delete
+        r, d = rows.alias("r"), dagg.alias("d")
+        cond = [F.col(f"r.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key_cols]
         out = (
-            rows.join(dagg, on=list(key_cols), how="left")
-            .where(F.col("_dseq").isNull() | (F.col(_SEQ_COL) >= F.col("_dseq")))
-            .drop("_dseq", _SEQ_COL)
+            r.join(d, cond, "left")
+            .where(F.col("d._dseq").isNull()
+                   | (F.col(f"r.{_SEQ_COL}") >= F.col("d._dseq")))
         )
-        return out.select(*[f.name for f in cur.fields])
+        return out.select(*[F.col(f"r.{f.name}") for f in cur.fields])
 
     # ---------------------------------------------------------------- writing
 
@@ -355,10 +359,15 @@ class LakeTable:
         # size and driver-side footer stats stay O(buckets). At cluster scale
         # num_buckets is raised so a bucket is a few hundred MB. Callers whose
         # input is already bucket-partitioned (staged updates) skip the
-        # shuffle entirely.
+        # shuffle entirely. Rows are key-sorted within each file (Iceberg
+        # SORTED BY): parquet row-group min/max stats then prune key
+        # lookups, and sorted keys compress better — a within-partition
+        # sort, no extra exchange.
         if not pre_partitioned:
             df = df.repartition(num_buckets or self.num_buckets,
                                 F.col(_BUCKET_COL))
+        if content == "data":
+            df = df.sortWithinPartitions(_BUCKET_COL, *self.key_cols)
         (df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir))
         paths = []
         for root, _dirs, names in os.walk(out_dir):
@@ -402,6 +411,7 @@ class LakeTable:
         rel = os.path.join(_DATA_DIR, f"v{version}")
         out_dir = os.path.join(self.path, rel)
         (df.repartition(self.num_buckets, F.col(_BUCKET_COL))
+         .sortWithinPartitions(_CONTENT_COL, _BUCKET_COL, *self.key_cols)
          .write.mode("overwrite")
          .partitionBy(_CONTENT_COL, _BUCKET_COL).parquet(out_dir))
         paths = []

@@ -281,6 +281,19 @@ def test_streaming_mor_with_compaction_cadence(spark, tmp_path):
     )
 
 
+def test_mor_null_key_parity_with_cow(spark, tmp_path):
+    """Null merge keys resolve with eqNullSafe in BOTH modes: a null-keyed
+    row must not dodge its delete under MoR."""
+    cow, mor = _mk_pair(spark, tmp_path)
+    b1 = [(None, "nullrow", 1, "I", ["a", "b"]), (1, "one", 1, "I", ["a", "b"])]
+    b2 = [(None, None, None, "D", None), (1, "one2", None, "U", ["a"])]
+    for i, rows in enumerate([b1, b2], start=1):
+        _merge_both(spark, cow, mor, rows, i)
+    got, want = _state(spark, mor), _state(spark, cow)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 1 and got.iloc[0]["a"] == "one2"
+
+
 def test_mor_rejects_bad_mode():
     with pytest.raises(ValueError):
         LakeTable.create("/tmp/_never", SCHEMA, ["k"], write_mode="bogus")
