@@ -96,17 +96,16 @@ def contamination_stats(docs: DataFrame, benchmark: DataFrame,
     from openlogreplicator_spark.functions.dedup import word_shingles
 
     d = word_shingles(docs, id_col, text_col, n)
-    b = word_shingles(benchmark, id_col, text_col, n) \
-        .select("shingle").distinct()
-    hit = d.join(F.broadcast(b), "shingle", "left_semi") \
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated"))
-    totals = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    b = (word_shingles(benchmark, id_col, text_col, n)
+         .select("shingle").distinct()
+         .withColumn("_hit", F.lit(1)))
+    # ONE corpus pass: broadcast left join marks hits, a single groupBy
+    # counts both totals and hits (count(col) skips nulls)
     return (
-        totals.join(hit, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
-            .alias("n_contaminated"),
+        d.join(F.broadcast(b), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
         )
     )

@@ -44,7 +44,9 @@ def token_chunk_assign(
     pipeline). Output: input id/group + ``n_tokens``, ``chunk_id``,
     ``chunk_offset`` (token offset where this doc starts in its chunk).
     """
-    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    from openlogreplicator_spark.functions.dedup import normalize_text
+
+    t = normalize_text(F.col(text_col))
     d = docs.select(
         F.col(id_col), F.col(group_col),
         F.size(F.split(t, " ")).cast("long").alias("n_tokens"),

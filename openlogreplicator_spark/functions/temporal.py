@@ -47,20 +47,26 @@ def asof_join(
     max() per (key, ts) so the oracle comparison is exact.
 
     Implementation: union with a side tag ordered so that at equal ts the
-    right row sorts FIRST (asof <= includes same-instant rows), then one
-    ``last(value, ignorenulls=True)`` window per key up to the current row.
+    right row sorts FIRST (asof <= includes same-instant rows), then ONE
+    ``last(struct, ignorenulls=True)`` window per key up to the current
+    row. The whole right row is carried as a single struct — never
+    per-column — so a matched right row's legitimate NULL fields survive
+    (per-column ignorenulls would stitch fields from DIFFERENT right rows
+    whenever the latest row holds a NULL).
     """
+    from pyspark.sql.types import StructType as _ST
+
     rc = right_cols or [c for c in right.columns if c not in (key, ts)]
+    r_struct_t = _ST([right.schema[c] for c in rc])
     l_tag = left.select(
         F.col(key), F.col(ts).alias("_t"), F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in rc],
+        F.lit(None).cast(r_struct_t).alias("_rrow"),
     )
     r_tag = right.select(
         F.col(key), F.col(ts).alias("_t"), F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in rc],
+        F.struct(*[F.col(c) for c in rc]).alias("_rrow"),
     )
     w = (
         Window.partitionBy(key)
@@ -69,12 +75,11 @@ def asof_join(
     )
     carried = l_tag.unionByName(r_tag).select(
         "*",
-        *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
-          .alias(f"_carry_{c}") for c in rc],
+        F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_carry"),
     )
     out_left = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     out_right = [
-        F.col(f"_carry_{c}").alias(
+        F.col(f"_carry.{c}").alias(
             f"{c}{suffix}" if c in left.columns else c
         )
         for c in rc
@@ -148,11 +153,11 @@ def session_stats_native(
     (session_window, key), fully JVM-side with map-side partial merge of
     overlapping windows.
 
-    Boundary semantics differ from ``sessionize`` by design and are pinned
-    here: a session window spans [start, last_event + gap) and the interval
-    is half-open, so an event at EXACTLY prev + gap starts a NEW session
-    (sessionize's lag-form uses diff > gap, which would merge it). The
-    driver oracle mirrors the native >= boundary.
+    Boundary semantics MATCH ``sessionize`` and are pinned by
+    test_session_window_boundary_semantics: session_window's merge test is
+    INCLUSIVE — an event at EXACTLY prev + gap stays in the session, the
+    same outcome as the lag form's ``diff > gap`` merge test, so both
+    operators share one honest driver oracle.
 
     Output: key, session_start (min ts), session_end (last ts + gap),
     n_events.

@@ -994,7 +994,16 @@ class LakeTable:
             return
         new_schema = StructType(cur.fields).add(name, spark_type, True)
         fids = dict(self._fids(m, m["schema_id"]))
-        taken = [v for v in fids.values() if isinstance(v, int)]
+        # allocate a NEVER-before-used field id (Iceberg last-column-id):
+        # scanning only the CURRENT schema would re-issue a dropped column's
+        # id, and read() would then resurrect the dropped column's bytes
+        # from historical files into the new column
+        taken = [
+            v
+            for sid_fids in (m.get("schemas_fids") or {str(m["schema_id"]): fids}).values()
+            for v in sid_fids.values()
+            if isinstance(v, int)
+        ]
         fid = (max(taken) + 1) if taken else f"f_{name}"
         fids[name] = fid
         extra = {}

@@ -89,11 +89,14 @@ def table_changes(
             )
     old = old.select(*sel)
 
-    o, n = old.alias("o"), new.alias("n")
+    # presence markers, not key-null tests: the join matches NULL keys with
+    # eqNullSafe, so a null-keyed row must not read as "absent"
+    o = old.withColumn("_p", F.lit(True)).alias("o")
+    n = new.withColumn("_p", F.lit(True)).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
-    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    in_old = F.col("o._p").isNotNull()
+    in_new = F.col("n._p").isNotNull()
     differs = None
     for c in payload_cols:
         d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

@@ -91,6 +91,8 @@ def neardup_candidates(
     hamming), conv_a < conv_b."""
     if radius >= bands:
         raise ValueError("completeness requires radius < bands")
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
     width = bits // bands
     mask = (1 << width) - 1
 

@@ -162,14 +162,19 @@ class NetworkWriter:
     """
 
     def __init__(self, messages, database: str = "OLR",
-                 start_scn: int = -1):
+                 start_scn: int = -1, position_resolver=None):
         self._source = iter(messages)
         self.database = database
         self.started_scn: int | None = (None if start_scn < 0
                                         else int(start_scn))
         self.confirmed_scn = -1
         self._queue: list[tuple[int, bytes]] = []  # unconfirmed, scn asc
-        self._drained = False
+        # START with seq/tms/tm_rel needs an engine-side mapping onto an
+        # scn (the reference resolves via OracleAnalyzerOnline): callers
+        # pass ``position_resolver(request_dict) -> scn | None``; without
+        # one, non-scn starts answer FAILED_START instead of silently
+        # replaying from scn 0
+        self._position_resolver = position_resolver
         self._sock: socket.socket | None = None
         self._thread: threading.Thread | None = None
         self.port: int | None = None
@@ -197,12 +202,15 @@ class NetworkWriter:
 
     # -- internals
 
-    def _fill_queue(self) -> None:
-        if self._drained:
-            return
-        for scn, payload in self._source:
-            self._queue.append((int(scn), bytes(payload)))
-        self._drained = True
+    def _resolve_start(self, req: dict):
+        """scn requests resolve directly; seq/tms/tm_rel need the caller's
+        ``position_resolver`` (WriterStream::processStart -> startReader
+        resolution). None = cannot resolve -> FAILED_START."""
+        if "scn" in req:
+            return int(req["scn"])
+        if self._position_resolver is not None:
+            return self._position_resolver(req)
+        return None
 
     def _serve(self) -> None:
         while not self._stop.is_set():
@@ -251,9 +259,16 @@ class NetworkWriter:
                                                 "tm_rel")):
                     send_framed(conn, _status_response(RESP_INVALID_COMMAND))
                 else:
-                    self.started_scn = int(req.get("scn", 0))
-                    send_framed(conn, _status_response(
-                        RESP_STARTED, self.started_scn))
+                    scn = self._resolve_start(req)
+                    if scn is None:
+                        # seq/tms/tm_rel with no resolver: refuse rather
+                        # than silently replaying from the beginning
+                        send_framed(conn,
+                                    _status_response(RESP_FAILED_START))
+                    else:
+                        self.started_scn = int(scn)
+                        send_framed(conn, _status_response(
+                            RESP_STARTED, self.started_scn))
             elif code == REQ_REDO:
                 send_framed(conn, _status_response(RESP_STREAMING))
                 streaming = True
@@ -274,18 +289,33 @@ class NetworkWriter:
             self._queue.pop(0)
 
     def _stream(self, conn: socket.socket) -> None:
-        """Push every unconfirmed payload, polling for CONFIRM between
-        sends (the reference interleaves pollQueue with the send loop)."""
-        self._fill_queue()
+        """Push unconfirmed payloads, polling for CONFIRM between sends
+        (the reference interleaves pollQueue with the send loop).
+
+        Source draining is LAZY: queued-but-unconfirmed messages from a
+        previous session are re-delivered first, then new messages are
+        pulled from the source one at a time — sent immediately and held
+        in the queue only until confirmed. Nothing is materialized up
+        front, so time-to-first-byte and driver memory are O(unconfirmed),
+        not O(stream)."""
         start = self.started_scn or 0
         sent_idx = 0
-        while sent_idx < len(self._queue) and not self._stop.is_set():
-            scn, payload = self._queue[sent_idx]
-            if scn < start or scn <= self.confirmed_scn:
+        while not self._stop.is_set():
+            if sent_idx < len(self._queue):
+                scn, payload = self._queue[sent_idx]
                 sent_idx += 1
-                continue
+                if scn < start or scn <= self.confirmed_scn:
+                    continue
+            else:
+                nxt = next(self._source, None)
+                if nxt is None:
+                    return  # source drained; session loop keeps polling
+                scn, payload = int(nxt[0]), bytes(nxt[1])
+                if scn <= self.confirmed_scn or scn < start:
+                    continue  # pre-start / already-confirmed: never queued
+                self._queue.append((scn, payload))
+                sent_idx = len(self._queue)
             send_framed(conn, payload)
-            sent_idx += 1
             # zero-wait confirm poll (select, not a blocking recv — a
             # quiet client must not throttle the send loop); a CONFIRM
             # may shrink the queue under us, so re-anchor the cursor by
@@ -329,9 +359,14 @@ def rows_from_dataframe(messages_df):
 
 
 def serve_change_stream(messages_df, database: str = "OLR",
-                        port: int = 0) -> NetworkWriter:
+                        port: int = 0,
+                        position_resolver=None) -> NetworkWriter:
     """Convenience: start a NetworkWriter over a protobuf message
-    DataFrame (see sinks/protobuf_stream.py)."""
-    w = NetworkWriter(rows_from_dataframe(messages_df), database=database)
+    DataFrame (see sinks/protobuf_stream.py). Pass ``position_resolver``
+    to honor START-by-seq/tms/tm_rel (e.g. wrap
+    openlogreplicator_spark.operators.decode.resolve_start_position over
+    the feed)."""
+    w = NetworkWriter(rows_from_dataframe(messages_df), database=database,
+                      position_resolver=position_resolver)
     w.start(port=port)
     return w

@@ -120,3 +120,40 @@ def test_table_changes_across_rename(spark, tmp_path):
     assert chg[0]["prev_body"] == row["body"]
     # and the old snapshot still reads under its own (pre-rename) schema
     assert "text" in table.read(spark, version=v1).columns
+
+
+def test_table_changes_null_key_rows(spark, tmp_path):
+    """Null-keyed rows classify correctly (presence markers, not key-null
+    tests): unchanged null-key row -> absent from the diff; deleted
+    null-key row -> 'D'."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from openlogreplicator_spark.lake import LakeTable
+
+    schema = StructType().add("k", LongType()).add("v", StringType())
+    t = LakeTable.create(str(tmp_path / "nk"), schema, ["k"], num_buckets=2)
+    t.overwrite(spark.createDataFrame(
+        [(None, "nullrow"), (1, "one"), (2, "two")], schema), batch_id=1)
+    v0 = t.current_version()
+    # delete key 2, keep the null-key row untouched, update key 1
+    upd = spark.createDataFrame(
+        [(2, None, "D", None), (1, "one2", "U", ["v"])],
+        "k long, v string, op string, cols_set array<string>")
+    t.merge(spark, upd, batch_id=2)
+    ch = table_changes(spark, t, v0, t.current_version()).toPandas()
+    # the untouched null-key row must NOT appear (it would previously
+    # surface as a spurious 'I')
+    assert not ch["k"].isna().any()
+    by_k = ch.set_index("k")
+    assert by_k.loc[1, "change"] == "U"
+    assert by_k.loc[2, "change"] == "D"
+
+    # now delete the null-key row: it must classify as 'D', not 'I'
+    v1 = t.current_version()
+    upd2 = spark.createDataFrame(
+        [(None, None, "D", None)],
+        "k long, v string, op string, cols_set array<string>")
+    t.merge(spark, upd2, batch_id=3)
+    ch2 = table_changes(spark, t, v1, t.current_version()).toPandas()
+    nulls = ch2[ch2["k"].isna()]
+    assert len(nulls) == 1 and nulls.iloc[0]["change"] == "D"

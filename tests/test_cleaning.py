@@ -72,3 +72,30 @@ def test_redact_pii_is_map_only(spark):
     docs = _docs(spark, [(1, "x")])
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_asof_join_carries_whole_right_row(spark):
+    """A matched right row's legitimate NULL fields must survive — the
+    carry is one struct per row, never per-column (per-column
+    last(ignorenulls) would stitch fields from different right rows)."""
+    import datetime as dt
+
+    from openlogreplicator_spark.functions.temporal import asof_join
+
+    base = dt.datetime(2026, 8, 17, 10, 0, 0)
+    right = spark.createDataFrame(
+        [("u", base, 1, 2), ("u", base + dt.timedelta(seconds=10), 3, None)],
+        "user_id string, ts timestamp, a long, b long")
+    left = spark.createDataFrame(
+        [("u", base + dt.timedelta(seconds=20), "L1"),
+         ("u", base + dt.timedelta(seconds=5), "L0"),
+         ("v", base, "NOMATCH")],
+        "user_id string, ts timestamp, tag string")
+    out = {r["tag"]: r for r in
+           asof_join(left, right, key="user_id").collect()}
+    # L1 matches the t+10 right row: a=3, b=NULL (NOT b=2 from t+0)
+    assert out["L1"]["a"] == 3 and out["L1"]["b"] is None
+    # L0 matches the t+0 row
+    assert out["L0"]["a"] == 1 and out["L0"]["b"] == 2
+    # no prior right row -> all-null right fields
+    assert out["NOMATCH"]["a"] is None and out["NOMATCH"]["b"] is None

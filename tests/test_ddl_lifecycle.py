@@ -339,3 +339,34 @@ def test_add_column_default_via_ddl_feed(spark, tmp_path):
     got = table.read(spark)
     assert "score" in got.columns
     assert got.where(F.col("score") == 7).count() > 0
+
+
+def test_add_after_drop_never_reuses_field_id(spark, tmp_path):
+    """A dropped column's stable field id must NEVER be re-issued: if ADD
+    COLUMN reused it, read() would bind the new column to the dropped
+    column's bytes in historical files and resurrect deleted data
+    (Iceberg's last-column-id contract)."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from openlogreplicator_spark.lake import LakeTable
+
+    schema = (StructType().add("k", LongType()).add("a", StringType())
+              .add("c", StringType()))
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["k"], num_buckets=2)
+    t.overwrite(spark.createDataFrame(
+        [(1, "a1", "SECRET1"), (2, "a2", "SECRET2")], schema), batch_id=1)
+
+    t.alter_drop_column("c")
+    t.alter_add_column("d", StringType())
+    # the new column's id is fresh, not c's
+    fids = t.manifest()["schemas_fids"][str(t.manifest()["schema_id"])]
+    all_prior = [v for sid, f in t.manifest()["schemas_fids"].items()
+                 if int(sid) < t.manifest()["schema_id"]
+                 for v in f.values()]
+    assert fids["d"] not in all_prior
+    # pre-evolution rows read NULL for d — never the dropped column's data
+    pdf = t.read(spark).toPandas().sort_values("k")
+    assert "c" not in pdf.columns
+    assert pdf["d"].isna().all()
+    assert not pdf.astype(str).apply(
+        lambda col: col.str.contains("SECRET", na=False)).any().any()

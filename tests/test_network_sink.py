@@ -211,3 +211,27 @@ def test_serve_spark_protobuf_stream(spark):
         c.close()
     finally:
         w.stop()
+
+
+def test_start_non_scn_without_resolver_fails_honestly():
+    """START by tms/seq/tm_rel with no position resolver answers
+    FAILED_START — never a silent replay from scn 0."""
+    from openlogreplicator_spark.sinks.network import RESP_FAILED_START
+
+    w = NetworkWriter(list(MSGS))
+    port = w.start()
+    try:
+        c = _Client(port)
+        r = c.ask(REQ_START, tms="2026-08-17 10:00:00")
+        assert r["code"] == RESP_FAILED_START
+        assert w.started_scn is None  # session NOT started
+
+        # with a resolver, the same request resolves and starts
+        w._position_resolver = lambda req: 30
+        r = c.ask(REQ_START, tms="2026-08-17 10:00:00")
+        assert r["code"] == RESP_STARTED and r["scn"] == 30
+        assert c.ask(REQ_REDO)["code"] == RESP_STREAMING
+        assert _drain(c, 3) == [b"m-thirty", b"m-forty", b"m-fifty"]
+        c.close()
+    finally:
+        w.stop()
