@@ -64,6 +64,71 @@ def _atomic_write(path: str, payload: str) -> None:
     os.rename(tmp, path)  # atomic on POSIX
 
 
+class CommitConflict(Exception):
+    """Another writer committed since this operation read its base
+    snapshot (Iceberg CommitFailedException analog). Retry against the
+    current state."""
+
+
+def _retry_conflict(fn):
+    """Optimistic-commit retry (Iceberg's commit loop): on CommitConflict
+    the whole operation re-runs against the FRESH manifest — every
+    decorated method re-reads state at its top and is idempotent (merge
+    re-checks the batch-id watermark, DDLs re-check applied state), so a
+    retry after a concurrent writer is safe. The losing attempt's data
+    files are unreferenced orphans; expire_snapshots collects them."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        last = None
+        for _ in range(5):
+            try:
+                return fn(self, *a, **kw)
+            except CommitConflict as e:
+                last = e
+                continue
+        raise last
+
+    return wrapper
+
+
+class _commit_lock:
+    """O_CREAT|O_EXCL lock file guarding the pointer swap. Short critical
+    section (two small file writes); stale locks (crashed holder) are
+    broken after ``timeout_s``."""
+
+    def __init__(self, table_path: str, timeout_s: float = 10.0):
+        self.lock_path = os.path.join(table_path, "_commit.lock")
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if time.time() > deadline:
+                    # holder crashed mid-commit: break the stale lock
+                    # (commits take milliseconds; 10 s means death)
+                    try:
+                        os.unlink(self.lock_path)
+                    except FileNotFoundError:
+                        pass
+                    deadline = time.time() + self.timeout_s
+                time.sleep(0.005)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock_path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 class LakeTable:
     """A versioned, snapshot-atomic, hash-bucketed Parquet table."""
 
@@ -161,6 +226,7 @@ class LakeTable:
         return str((self.manifest().get("properties") or {})
                    .get(_WRITE_MODE_PROP, "cow"))
 
+    @_retry_conflict
     def set_write_mode(self, mode: str) -> None:
         """Switch the merge mode (metadata-only commit). Both directions are
         safe mid-stream: CoW merges fold any existing delete files of the
@@ -196,12 +262,32 @@ class LakeTable:
         return out
 
     def _commit(self, manifest: dict) -> None:
+        """Optimistic-concurrency snapshot commit (Iceberg atomic swap +
+        commit validation): the pointer swap happens under a short
+        exclusive lock, and the commit REFUSES (CommitConflict) if another
+        writer advanced the table since this manifest's parent was read —
+        a concurrent maintenance job (compaction, expire, rebucket) racing
+        the streaming writer can therefore never silently orphan the
+        other's files. Callers catch CommitConflict and re-run against the
+        fresh state (merge: idempotency re-check; compact: recompute).
+
+        The lock is an O_CREAT|O_EXCL file — the portable local analog of
+        Iceberg's catalog compare-and-swap; on an object-store catalog the
+        same role is played by a conditional PUT."""
         v = manifest["version"]
-        _atomic_write(
-            os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json"),
-            json.dumps(manifest),
-        )
-        _atomic_write(os.path.join(self.path, _POINTER), str(v))
+        with _commit_lock(self.path):
+            if os.path.exists(os.path.join(self.path, _POINTER)):
+                cur = self.current_version()
+                parent = manifest.get("parent")
+                if parent is not None and cur != parent:
+                    raise CommitConflict(
+                        f"table advanced to v{cur} since v{parent} was read"
+                    )
+            _atomic_write(
+                os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json"),
+                json.dumps(manifest),
+            )
+            _atomic_write(os.path.join(self.path, _POINTER), str(v))
         self._manifest_cache[v] = manifest
 
     # ------------------------------------------------------------------- read
@@ -352,7 +438,12 @@ class LakeTable:
         data sequence number)."""
         import pyarrow.parquet as pq
 
-        rel = os.path.join(_DATA_DIR, f"v{version}{subdir}")
+        # uuid suffix: two RACING writers may both build the same target
+        # version; a shared version-keyed dir + mode(overwrite) would let
+        # the loser delete the winner's committed files. Unique dirs make
+        # every attempt's files independent; losers become unreferenced
+        # orphans that expire_snapshots collects.
+        rel = os.path.join(_DATA_DIR, f"v{version}{subdir}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel)
         # co-locate each bucket into one task before the partitioned write:
         # one data file per touched bucket (vs. files x tasks), so manifest
@@ -408,7 +499,8 @@ class LakeTable:
         Returns (data_entries, delete_entries)."""
         import pyarrow.parquet as pq
 
-        rel = os.path.join(_DATA_DIR, f"v{version}")
+        # unique per attempt — see _write_data on racing-writer collisions
+        rel = os.path.join(_DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel)
         (df.repartition(self.num_buckets, F.col(_BUCKET_COL))
          .sortWithinPartitions(_CONTENT_COL, _BUCKET_COL, *self.key_cols)
@@ -446,6 +538,7 @@ class LakeTable:
         return ([e for e in entries if e.get("content", "data") == "data"],
                 [e for e in entries if e.get("content") == "eq-del"])
 
+    @_retry_conflict
     def overwrite(self, df: DataFrame, batch_id: int = -1,
                   summary: dict | None = None) -> dict:
         """Replace the whole table content (bootstrap / test helper)."""
@@ -462,6 +555,7 @@ class LakeTable:
         self._commit(new)
         return new["summary"]
 
+    @_retry_conflict
     def merge(
         self,
         spark: SparkSession,
@@ -615,6 +709,7 @@ class LakeTable:
         smry["snapshot_id"] = v
         return smry
 
+    @_retry_conflict
     def _merge_mor(
         self,
         spark: SparkSession,
@@ -750,6 +845,7 @@ class LakeTable:
         smry["snapshot_id"] = v
         return smry
 
+    @_retry_conflict
     def compact(self, spark: SparkSession, buckets: list[int] | None = None,
                 summary: dict | None = None) -> dict:
         """Fold merge-on-read deltas back into plain data files (Iceberg
@@ -893,6 +989,7 @@ class LakeTable:
         smry["snapshot_id"] = v
         return smry
 
+    @_retry_conflict
     def rebucket(self, spark: SparkSession, new_num_buckets: int,
                  summary: dict | None = None) -> dict:
         """Bucket-count evolution (Iceberg ``rewrite_data_files`` under a new
@@ -947,6 +1044,7 @@ class LakeTable:
 
     # ------------------------------------------------------------- evolution
 
+    @_retry_conflict
     def truncate(self) -> None:
         """TRUNCATE TABLE: commit an empty file list (metadata-only — data
         files are unreferenced, not deleted, exactly like Iceberg TRUNCATE
@@ -962,6 +1060,7 @@ class LakeTable:
         )
         self._commit(m)
 
+    @_retry_conflict
     def mark_dropped(self) -> None:
         """DROP TABLE: tombstone manifest (empty file list + dropped flag).
         Subsequent merges become no-ops; reads return an empty DataFrame.
@@ -978,6 +1077,7 @@ class LakeTable:
     def is_dropped(self) -> bool:
         return bool((self.manifest().get("properties") or {}).get("dropped"))
 
+    @_retry_conflict
     def alter_add_column(self, name: str, spark_type,
                          default: str | None = None) -> None:
         """Metadata-only ADD COLUMN (Iceberg schema evolution). The reference
@@ -1015,6 +1115,7 @@ class LakeTable:
                           {"operation": "add-column", "column": name},
                           new_fids=fids, extra=extra)
 
+    @_retry_conflict
     def alter_rename_column(self, old: str, new: str) -> None:
         """Metadata-only RENAME COLUMN (Iceberg rename): the field keeps its
         stable id, so historical files' physical column (old name) still
@@ -1044,6 +1145,7 @@ class LakeTable:
                            "from": old, "to": new},
                           new_fids=fids)
 
+    @_retry_conflict
     def alter_drop_column(self, name: str) -> None:
         """Metadata-only DROP COLUMN (Iceberg schema evolution): the column
         leaves the current schema; historical files keep the bytes but
@@ -1059,6 +1161,7 @@ class LakeTable:
         self._bump_schema(m, StructType(fields),
                           {"operation": "drop-column", "column": name})
 
+    @_retry_conflict
     def alter_widen(self, name: str, spark_type) -> None:
         """Metadata-only type widen (e.g. int -> bigint). Idempotent: a
         retried DDL whose target type already matches is a no-op."""

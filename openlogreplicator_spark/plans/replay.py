@@ -45,6 +45,29 @@ def bootstrap_target(path: str, cfg: EngineConfig) -> LakeTable:
     )
 
 
+def _commit_watermark(table: LakeTable, composite: int,
+                      summary: dict) -> None:
+    """Metadata-only watermark advance (no data files), safe under
+    concurrent writers: on CommitConflict the manifest is re-read and the
+    commit retried; the watermark only ever moves forward (max), so a
+    concurrent writer that already advanced past ``composite`` turns this
+    into a harmless no-op commit."""
+    from openlogreplicator_spark.lake import CommitConflict
+
+    for _ in range(5):
+        m = dict(table.manifest())
+        m.update(version=m["version"] + 1, parent=m["version"],
+                 last_batch_id=max(composite, m["last_batch_id"]),
+                 summary=summary)
+        try:
+            table._commit(m)
+            return
+        except CommitConflict:
+            table._manifest_cache.pop(m["version"], None)
+            continue
+    raise CommitConflict(f"watermark commit for batch {composite} kept losing")
+
+
 def _apply_ddl(table: LakeTable, ddl: str) -> None:
     """Apply one DDL event to the target (schema evolution + lifecycle).
 
@@ -235,11 +258,9 @@ def _merge_slice(
         # a DROP DDL landed earlier in this feed: later events have no
         # target — consume them as a no-op (watermark still advances so a
         # retried batch stays idempotent)
-        m = dict(table.manifest())
-        m.update(version=m["version"] + 1, parent=m["version"],
-                 last_batch_id=composite,
-                 summary={"operation": "noop-dropped", "batch_id": composite})
-        table._commit(m)
+        _commit_watermark(table, composite,
+                          {"operation": "noop-dropped",
+                           "batch_id": composite})
         return {"operation": "merge", "skipped": True, "batch_id": composite,
                 "reason": "table dropped"}
 
@@ -332,21 +353,15 @@ def _merge_slice(
         # empty slice (e.g. a DDL boundary with no surviving rows): advance
         # the write-audit watermark so retries stay idempotent, nothing else
         shutil.rmtree(stage_dir, ignore_errors=True)
-        m = dict(table.manifest())
-        m.update(version=m["version"] + 1, parent=m["version"],
-                 last_batch_id=composite,
-                 summary={"operation": "noop", "batch_id": composite})
-        table._commit(m)
+        _commit_watermark(table, composite,
+                          {"operation": "noop", "batch_id": composite})
         return None
     updates = spark.read.parquet(stage_dir)
     try:
         if rng["n"] == 0:
             # advance the write-audit watermark so retries stay idempotent
-            m = dict(table.manifest())
-            m.update(version=m["version"] + 1, parent=m["version"],
-                     last_batch_id=composite,
-                     summary={"operation": "noop", "batch_id": composite})
-            table._commit(m)
+            _commit_watermark(table, composite,
+                              {"operation": "noop", "batch_id": composite})
             return None
         return table.merge(
             spark,

@@ -297,3 +297,57 @@ def test_mor_null_key_parity_with_cow(spark, tmp_path):
 def test_mor_rejects_bad_mode():
     with pytest.raises(ValueError):
         LakeTable.create("/tmp/_never", SCHEMA, ["k"], write_mode="bogus")
+
+
+def test_multi_table_routing_with_mixed_modes(spark, tmp_path):
+    """Routed replay where one target is MoR and the other CoW: the merge
+    dispatch is a per-table property, so each target gets its own write
+    strategy and both match their per-table sequential oracles."""
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.feed import (
+        generate_change_events, sequential_oracle,
+    )
+    from openlogreplicator_spark.plans.replay import (
+        bootstrap_target, replay_batch_multi,
+    )
+
+    cfg = EngineConfig(num_buckets=4, table_filter=None)
+    cfg_mor = EngineConfig(num_buckets=4, table_filter=None,
+                           merge_mode="mor")
+    events = generate_change_events(spark, n_txs=200, n_convs=25, seed=47)
+    is_dml = F.col("op").isin("I", "U", "D")
+    routed = events.withColumn(
+        "table",
+        F.when(~is_dml, F.lit("transcripts")).otherwise(
+            F.when(F.col("scn") % 2 == 0, F.lit("transcripts"))
+            .otherwise(F.lit("notes"))
+        ),
+    )
+    tables = {
+        "transcripts": bootstrap_target(str(tmp_path / "t1"), cfg),
+        "notes": bootstrap_target(str(tmp_path / "t2"), cfg_mor),
+    }
+    assert tables["notes"].write_mode == "mor"
+    # two scn-ordered chunks so the MoR target actually layers deltas
+    mid = events.agg(F.expr("percentile(scn, 0.5)")).first()[0]
+    replay_batch_multi(spark, routed.where(F.col("scn") <= mid), tables,
+                       cfg, batch_id=1)
+    replay_batch_multi(spark, routed, tables, cfg, batch_id=2)
+    assert any(f.get("content") == "eq-del"
+               for f in tables["notes"].manifest()["files"])
+    tables["notes"].compact(spark)
+
+    pdf = routed.toPandas()
+    for name, table in tables.items():
+        mask = (~pdf["op"].isin(["I", "U", "D"])) | (pdf["table"] == name)
+        oracle = sequential_oracle(pdf[mask]).drop(columns=["meta"])
+        got = (
+            table.read(spark).toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            .astype({"turn_idx": "int64"})
+        )
+        pd.testing.assert_frame_equal(
+            got[oracle.columns.tolist()],
+            oracle.astype({"turn_idx": "int64"}).reset_index(drop=True),
+            check_dtype=False,
+        )
