@@ -351,3 +351,23 @@ def test_multi_table_routing_with_mixed_modes(spark, tmp_path):
             oracle.astype({"turn_idx": "int64"}).reset_index(drop=True),
             check_dtype=False,
         )
+
+
+def test_mor_key_widen_mid_stream(spark, tmp_path):
+    """WIDEN a merge-key column between MoR commits: old delete files (int
+    keys) still kill prior versions of the same logical key (the bucket
+    hash and key equality are both type-stable through the widen)."""
+    _, mor = _mk_pair(spark, tmp_path)
+    mor.merge(spark, spark.createDataFrame(BATCH1, UPD_SCHEMA), batch_id=1)
+    mor.alter_widen("k", LongType())
+    upd = spark.createDataFrame(
+        [(2, "wide2", None, "U", ["a"]), (3, None, None, "D", None)],
+        "k long, a string, b long, op string, cols_set array<string>")
+    mor.merge(spark, upd, batch_id=2)
+    st = _state(spark, mor)
+    assert st[st.k == 2].iloc[0]["a"] == "wide2"      # updated, not duplicated
+    assert (st.k == 2).sum() == 1
+    assert 3 not in set(st.k)                          # deleted across the widen
+    assert len(st) == 39
+    mor.compact(spark)
+    assert len(_state(spark, mor)) == 39
