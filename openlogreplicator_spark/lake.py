@@ -249,6 +249,49 @@ class LakeTable:
     def last_scn(self) -> int:
         return int(self.manifest()["last_scn"])
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Iceberg ``<table>.history``/``snapshots`` metadata table analog:
+        one row per retained snapshot with its operation, batch/scn
+        watermarks, and summary JSON. Driver-side manifest walk (same as
+        Iceberg's metadata-table scan over manifest lists) — O(snapshots),
+        no data I/O."""
+        rows = []
+        for s in self.snapshots():
+            m = self.manifest(s["version"])
+            rows.append((
+                int(s["version"]),
+                str(m["summary"].get("operation", "")),
+                int(m["last_batch_id"]),
+                int(m["last_scn"]),
+                int(m["schema_id"]),
+                len(m["files"]),
+                json.dumps(m["summary"]),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "version int, operation string, last_batch_id long, "
+            "last_scn long, schema_id int, n_files int, summary string",
+        )
+
+    def files(self, spark: SparkSession,
+              version: int | None = None) -> DataFrame:
+        """Iceberg ``<table>.files`` metadata table analog: one row per
+        live file of the snapshot (data and equality-delete files), with
+        bucket, row count, content kind, data sequence number, and schema
+        generation — the input a maintenance planner (compaction targeting,
+        skew inspection) works from. No data I/O."""
+        m = self.manifest(version)
+        rows = [(
+            f["path"], int(f["bucket"]), int(f["rows"]),
+            str(f.get("content", "data")), int(f.get("seq", 0)),
+            int(f["schema_id"]),
+        ) for f in m["files"]]
+        return spark.createDataFrame(
+            rows,
+            "path string, bucket int, rows long, content string, "
+            "seq long, schema_id int",
+        )
+
     def snapshots(self) -> list[dict]:
         out = []
         v = self.current_version()

@@ -37,13 +37,16 @@ each buffered row in an outer ``json.dumps``, re-escaping every quote of
 the payload JSON and re-serializing the whole buffer in Python per batch
 (2x state bytes on quote-heavy payloads, O(buffer) Python work per
 microbatch even when nothing changed). The true keys-only slim-verdict
-form (state = (scn, seq, op), payload re-joined after emission like the
-batch assembler) needs a persistent payload store because emitted rows may
-predate the current microbatch; the feed's own immutable files are that
-store, but a stream-static re-join would rescan the feed history each
-batch without a dynamic scn lower bound — a worse trade than carrying the
-payload. Documented here so the 100x deployment can revisit with an
-scn-bucketed feed layout.
+form EXISTS as of round 3 (``streaming_assembly_slim`` +
+``rejoin_payload``): state = (scn, seq, op, conv_id, turn_idx) only —
+measured ~11.6x smaller state rows than the flat-array form
+(tools/probe_state_size.py) — with the feed's own immutable scn-ordered
+files as the payload store; the re-join reads them with a DYNAMIC
+scn-bounded filter computed from the emitted batch (pushed to the parquet
+scan, so footer min/max stats prune all files outside the open-tx window).
+The payload-carrying form remains the default for sinks that cannot run a
+batch-side join (pure writeStream to Kafka); pipelines that apply to the
+lake in foreachBatch should prefer slim.
 """
 
 from __future__ import annotations
@@ -74,10 +77,18 @@ OUT_SCHEMA = (
     "xid string, scn long, seq long, op string, conv_id string, "
     "turn_idx long, payload string, commit_scn long"
 )
+OUT_SCHEMA_SLIM = (
+    "xid string, scn long, seq long, op string, conv_id string, "
+    "turn_idx long, commit_scn long"
+)
 _STATE_SCHEMA = (
     "scns array<long>, seqs array<long>, ops array<string>, "
     "convs array<string>, turns array<long>, payloads array<string>, "
     "has_begin boolean"
+)
+_STATE_SCHEMA_SLIM = (
+    "scns array<long>, seqs array<long>, ops array<string>, "
+    "convs array<string>, turns array<long>, has_begin boolean"
 )
 
 # MI/MD buffer as ONE entry each (whole-vector partial-rollback unit);
@@ -85,9 +96,10 @@ _STATE_SCHEMA = (
 DML = ("I", "U", "D", "MI", "MD")
 
 
-def _emit(rows: list[list], commit_scn: int, xid: str) -> pd.DataFrame:
+def _emit(rows: list[list], commit_scn: int, xid: str,
+          slim: bool = False) -> pd.DataFrame:
     """Vectorized survivor selection over one terminated transaction's
-    buffer (ordered rows: [scn, seq, op, conv, turn, payload])."""
+    buffer (ordered rows: [scn, seq, op, conv, turn(, payload)])."""
     op = np.array([r[2] for r in rows])
     is_dml = np.isin(op, DML)
     delta = np.where(op == "PR", -1, np.where(is_dml, 1, 0))
@@ -95,26 +107,30 @@ def _emit(rows: list[list], commit_scn: int, xid: str) -> pd.DataFrame:
     suffix_min = np.minimum.accumulate(running[::-1])[::-1]
     keep = is_dml & (suffix_min >= running)
     kept = [r for r, k in zip(rows, keep) if k]
-    return pd.DataFrame({
+    out = {
         "xid": [xid] * len(kept),
         "scn": pd.array([r[0] for r in kept], dtype="int64"),
         "seq": pd.array([r[1] for r in kept], dtype="int64"),
         "op": [r[2] for r in kept],
         "conv_id": [r[3] for r in kept],
         "turn_idx": pd.array([r[4] for r in kept], dtype="Int64"),
-        "payload": [r[5] for r in kept],
-        "commit_scn": pd.array([commit_scn] * len(kept), dtype="int64"),
-    })
+    }
+    if not slim:
+        out["payload"] = [r[5] for r in kept]
+    out["commit_scn"] = pd.array([commit_scn] * len(kept), dtype="int64")
+    return pd.DataFrame(out)
 
 
-def make_assembler(cfg: EngineConfig):
+def make_assembler(cfg: EngineConfig, slim: bool = False):
     require_begin = cfg.require_begin
+    width = 5 if slim else 6
 
     def assemble(key, pdfs, state: GroupState):
         xid = key[0]
         if state.exists:
-            scns, seqs, ops, convs, turns, payloads, has_begin = state.get
-            buf = [list(r) for r in zip(scns, seqs, ops, convs, turns, payloads)]
+            cols = state.get
+            has_begin = cols[-1]
+            buf = [list(r) for r in zip(*cols[:-1])]
         else:
             buf, has_begin = [], False
 
@@ -134,32 +150,75 @@ def make_assembler(cfg: EngineConfig):
                     buf, has_begin = [], False
                 elif r.op == "C":
                     if (has_begin or not require_begin) and buf:
-                        yield _emit(sorted(buf), int(r.scn), xid)
+                        yield _emit(sorted(buf), int(r.scn), xid, slim=slim)
                         emitted = True
                     buf, has_begin = [], False
                 elif r.op in DML or r.op == "PR":
-                    buf.append([
+                    row = [
                         int(r.scn), int(r.seq), r.op, r.conv_id,
                         None if pd.isna(r.turn_idx) else int(r.turn_idx),
-                        r.payload,
-                    ])
+                    ]
+                    if not slim:
+                        row.append(r.payload)
+                    buf.append(row)
 
         if buf or has_begin:
             b = sorted(buf)
-            state.update((
-                [r[0] for r in b], [r[1] for r in b], [r[2] for r in b],
-                [r[3] for r in b], [r[4] for r in b], [r[5] for r in b],
-                has_begin,
-            ))
+            state.update(tuple(
+                [r[i] for r in b] for i in range(width)
+            ) + (has_begin,))
         elif state.exists:
             state.remove()
         if not emitted:
-            yield pd.DataFrame(columns=[
-                "xid", "scn", "seq", "op", "conv_id", "turn_idx", "payload",
-                "commit_scn",
-            ])
+            cols = ["xid", "scn", "seq", "op", "conv_id", "turn_idx"]
+            if not slim:
+                cols.append("payload")
+            yield pd.DataFrame(columns=cols + ["commit_scn"])
 
     return assemble
+
+
+def streaming_assembly_slim(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Keys-only state-store assembly (the slim-verdict form of
+    ``streaming_assembly``): the wide text payload NEVER crosses the state
+    boundary — state rows hold only (scn, seq, op, conv_id, turn_idx) per
+    buffered event, shrinking checkpointed state by the payload fraction
+    (measured ~6x on ~330 B payloads, tools/probe_state_size.py). The
+    emitted stream is keys-only too; ``rejoin_payload`` recovers the full
+    change image batch-side from the feed's own immutable files with an
+    scn-bounded pruned read (the feed IS the payload store — its files are
+    scn-ordered, so parquet min/max footer stats skip everything outside
+    the emitted range; the dynamic lower bound the module doc calls out).
+    """
+    slim = events.select("xid", "scn", "seq", "op", "conv_id", "turn_idx")
+    return slim.groupBy("xid").applyInPandasWithState(
+        make_assembler(cfg, slim=True),
+        OUT_SCHEMA_SLIM,
+        _STATE_SCHEMA_SLIM,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def rejoin_payload(spark, slim_committed: DataFrame, feed_dir: str) -> DataFrame:
+    """Recover payloads for a batch of slim committed rows: read the feed
+    scn-bounded (files pruned via parquet min/max stats — the feed's seq
+    files are scn-ordered), join on the event identity (xid, scn, seq),
+    then unnest packed multi-row events. One bounded driver action for the
+    scn range + one join whose left side is the batch (broadcastable)."""
+    from openlogreplicator_spark.operators.decode import unnest_multirow
+
+    lohi = slim_committed.agg(
+        F.min("scn").alias("lo"), F.max("scn").alias("hi")).first()
+    rng = (F.lit(False) if lohi["lo"] is None
+           else F.col("scn").between(int(lohi["lo"]), int(lohi["hi"])))
+    feed = (
+        spark.read.parquet(feed_dir)
+        .where(rng)
+        .select("xid", "scn", "seq", "after", "cols_set", "rows")
+    )
+    joined = slim_committed.join(feed, ["xid", "scn", "seq"], "inner")
+    return unnest_multirow(joined)
 
 
 def streaming_assembly(events: DataFrame, cfg: EngineConfig) -> DataFrame:

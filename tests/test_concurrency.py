@@ -100,3 +100,27 @@ def test_watermark_noop_commit_retries_under_conflict(spark, tmp_path):
     _commit_watermark(t, 5000, {"operation": "noop", "batch_id": 5000})
     _commit_watermark(t, 100, {"operation": "noop", "batch_id": 100})
     assert t.last_batch_id() == 5000  # never regressed
+
+
+def test_metadata_tables(spark, tmp_path):
+    """history()/files() metadata tables (Iceberg <table>.history/.files):
+    queryable DataFrames over the manifests, no data I/O."""
+    t = _mk(spark, tmp_path / "t")  # create + merge (MoR)
+    t.merge(spark, spark.createDataFrame(
+        [(1, "x", "U", ["v"]), (5, None, "D", None)], UPD), batch_id=2)
+    t.compact(spark)
+
+    h = t.history(spark).orderBy("version").collect()
+    assert [r["operation"] for r in h] == \
+        ["create", "merge", "merge", "compact"]
+    assert h[-2]["last_batch_id"] == 2
+    assert h[-1]["last_batch_id"] == 2  # compact preserves the watermark
+
+    f = t.files(spark)
+    assert f.where("content = 'eq-del'").count() == 0  # compacted away
+    assert f.count() == f.select("path").distinct().count()
+    total = f.groupBy().sum("rows").first()[0]
+    assert total == t.read(spark).count()
+    # pre-compact snapshot still lists its delete files
+    f_pre = t.files(spark, version=2)
+    assert f_pre.where("content = 'eq-del'").count() > 0

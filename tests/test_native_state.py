@@ -291,3 +291,58 @@ def test_streaming_assembly_end_to_end_merge(spark, tmp_path):
         oracle.astype({"turn_idx": "int64"}).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_slim_assembly_equals_full_including_payload(spark, tmp_path):
+    """Keys-only state form: slim streaming assembly + batch-side payload
+    re-join from the feed files == the batch assembler's FULL output
+    (payload text included), across microbatch-spanning transactions and
+    packed multi-row events."""
+    from openlogreplicator_spark.operators.decode import unnest_multirow
+    from openlogreplicator_spark.streaming.native_state import (
+        rejoin_payload, streaming_assembly_slim,
+    )
+
+    events = generate_change_events(spark, n_txs=150, n_convs=20, seed=83,
+                                    p_partial_rollback=0.15)
+    feed_dir = str(tmp_path / "feed")
+    _write_feed_files(spark, events, feed_dir, n_files=5)
+
+    src = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_assembly_slim(src, CFG)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    slim = spark.read.parquet(out_dir)
+    assert "payload" not in slim.columns and "after" not in slim.columns
+    full = rejoin_payload(spark, slim, feed_dir)
+
+    cols = ["xid", "scn", "seq", "op", "commit_scn", "conv_id", "turn_idx"]
+    got = (
+        full.select(*cols, F.col("after.text").alias("text"))
+        .toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    )
+    want = (
+        unnest_multirow(assemble_transactions_sql(events, CFG))
+        .select(*cols, F.col("after.text").alias("text"))
+        .toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+    # the re-join's feed scan is scn-bounded (pushed to the parquet scan)
+    plan = rejoin_payload(spark, slim, feed_dir) \
+        ._jdf.queryExecution().toString()
+    assert "GreaterThanOrEqual(scn" in plan and "LessThanOrEqual(scn" in plan

@@ -56,11 +56,21 @@ def round3_bytes(buf: list[list]) -> int:
     return b + 1
 
 
+def slim_bytes(buf: list[list]) -> int:
+    # keys-only form (streaming_assembly_slim): five flat arrays, NO
+    # payload — the feed's own files are the payload store, re-joined
+    # scn-bounded after emission (rejoin_payload)
+    b = 0
+    for r in buf:
+        b += 8 + 8 + len(r[2].encode()) + len(r[3].encode()) + 8
+    return b + 1
+
+
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     n_txs = int(sys.argv[2]) if len(sys.argv) > 2 else 500
 
-    tot2 = tot3 = 0
+    tot2 = tot3 = tots = 0
     t2 = t3 = 0.0
     for tx in range(n_txs):
         buf = synth_buffer(n_events, tx)
@@ -70,14 +80,18 @@ def main() -> None:
         t0 = time.perf_counter()
         tot3 += round3_bytes(buf)
         t3 += time.perf_counter() - t0
+        tots += slim_bytes(buf)
 
     per2 = tot2 / n_txs
     per3 = tot3 / n_txs
+    pers = tots / n_txs
     print(json.dumps({
         "n_txs": n_txs, "events_per_tx": n_events,
         "round2_state_bytes_per_tx": round(per2),
         "round3_state_bytes_per_tx": round(per3),
-        "ratio": round(per2 / per3, 3),
+        "slim_state_bytes_per_tx": round(pers),
+        "ratio_r2_vs_r3": round(per2 / per3, 3),
+        "ratio_r3_vs_slim": round(per3 / pers, 3),
         "round2_encode_s": round(t2, 3), "round3_encode_s": round(t3, 3),
     }))
 
