@@ -95,36 +95,82 @@ def _retry_conflict(fn):
 
 class _commit_lock:
     """O_CREAT|O_EXCL lock file guarding the pointer swap. Short critical
-    section (two small file writes); stale locks (crashed holder) are
-    broken after ``timeout_s``."""
+    section (two small file writes). Ownership-safe:
 
-    def __init__(self, table_path: str, timeout_s: float = 10.0):
+      * the lock file carries ``pid:token``; ``__exit__`` removes the lock
+        ONLY if it still holds this acquirer's token — a holder can never
+        release a lock someone else (re)acquired;
+      * a waiter breaks a lock only when its recorded pid is provably DEAD
+        (``kill(pid, 0)`` -> ESRCH) — a live holder in a long GC pause or
+        slow fsync keeps exclusion; after the break, O_CREAT|O_EXCL still
+        arbitrates racing breakers (exactly one wins);
+      * a dead-looking lock whose pid was recycled by an unrelated process
+        falls back to a hard age cutoff (``max_age_s``, default 300 s —
+        commits take milliseconds).
+
+    This is the portable local analog of Iceberg's catalog compare-and-
+    swap; an object-store catalog plays this role with a conditional PUT.
+    """
+
+    def __init__(self, table_path: str, timeout_s: float = 60.0,
+                 max_age_s: float = 300.0):
         self.lock_path = os.path.join(table_path, "_commit.lock")
         self.timeout_s = timeout_s
+        self.max_age_s = max_age_s
+        self._token = f"{os.getpid()}:{uuid.uuid4().hex}"
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:  # pragma: no cover - exists, other user
+            return True
+
+    def _try_break(self) -> None:
+        """Remove the lock only if its holder is dead (or the file is
+        implausibly old). Racing breakers are safe: unlink of an already-
+        unlinked path is ignored, and re-acquisition goes through
+        O_CREAT|O_EXCL."""
+        try:
+            with open(self.lock_path) as f:
+                content = f.read()
+            pid = int(content.split(":", 1)[0])
+            alive = self._pid_alive(pid)
+            age = time.time() - os.path.getmtime(self.lock_path)
+        except (FileNotFoundError, ValueError, OSError):
+            return  # gone, or unreadable mid-write: retry acquisition
+        if not alive or age > self.max_age_s:
+            try:
+                os.unlink(self.lock_path)
+            except FileNotFoundError:
+                pass
 
     def __enter__(self):
         deadline = time.time() + self.timeout_s
         while True:
             try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                fd = os.open(self.lock_path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, self._token.encode())
                 os.close(fd)
                 return self
             except FileExistsError:
+                self._try_break()
                 if time.time() > deadline:
-                    # holder crashed mid-commit: break the stale lock
-                    # (commits take milliseconds; 10 s means death)
-                    try:
-                        os.unlink(self.lock_path)
-                    except FileNotFoundError:
-                        pass
-                    deadline = time.time() + self.timeout_s
+                    raise TimeoutError(
+                        f"commit lock {self.lock_path} held by a live "
+                        f"process for >{self.timeout_s}s")
                 time.sleep(0.005)
 
     def __exit__(self, *exc):
         try:
-            os.unlink(self.lock_path)
-        except FileNotFoundError:
+            with open(self.lock_path) as f:
+                if f.read() == self._token:
+                    os.unlink(self.lock_path)
+        except (FileNotFoundError, OSError):
             pass
         return False
 
@@ -753,6 +799,19 @@ class LakeTable:
         return smry
 
     @_retry_conflict
+    @_retry_conflict
+    def commit_watermark(self, batch_id: int, summary: dict) -> None:
+        """Metadata-only watermark advance (no data files) — used by empty
+        batch slices to keep retries idempotent. Safe under concurrent
+        writers via the standard conflict-retry; the watermark only ever
+        moves forward, so a concurrent writer that already advanced past
+        ``batch_id`` turns this into a harmless no-op commit."""
+        m = dict(self.manifest())
+        m.update(version=m["version"] + 1, parent=m["version"],
+                 last_batch_id=max(int(batch_id), m["last_batch_id"]),
+                 summary=summary)
+        self._commit(m)
+
     def _merge_mor(
         self,
         spark: SparkSession,
@@ -1028,7 +1087,18 @@ class LakeTable:
                          m["last_scn"]),
             summary=smry,
         )
-        self._commit(new)
+        try:
+            self._commit(new)
+        except CommitConflict:
+            # a concurrent commit landed between our manifest read and the
+            # swap — the table may no longer be empty, so the general
+            # merge path (its own @_retry_conflict, full resolve) takes
+            # over against the fresh state; this attempt's files become
+            # expire-collected orphans
+            return self.merge(
+                spark, updates, batch_id, summary=summary,
+                op_col=op_col, cols_set_col=cols_set_col,
+            )
         smry["snapshot_id"] = v
         return smry
 
@@ -1245,7 +1315,8 @@ class LakeTable:
 
     # -------------------------------------------------------------- utilities
 
-    def expire_snapshots(self, keep_last: int = 5) -> dict:
+    def expire_snapshots(self, keep_last: int = 5,
+                         orphan_min_age_s: float = 3600.0) -> dict:
         """Iceberg ``expire_snapshots`` analog (table maintenance): delete
         data files referenced ONLY by manifests older than the retained
         window, plus the expired manifests themselves. Copy-on-write MERGE
@@ -1253,6 +1324,13 @@ class LakeTable:
         long-running stream grows unbounded. Time travel shrinks to the
         ``keep_last`` most recent snapshots; the current snapshot and its
         files are always preserved.
+
+        Files referenced by NO manifest at all are treated as Iceberg's
+        remove_orphan_files does: deleted only when older than
+        ``orphan_min_age_s`` — a young unreferenced file may belong to a
+        CONCURRENT in-flight commit that has written data but not yet
+        swapped the pointer; deleting it would let that commit land
+        pointing at missing files.
 
         Driver-side file walk — the same shape as Iceberg's own
         expire_snapshots action, which also enumerates manifests centrally;
@@ -1264,21 +1342,38 @@ class LakeTable:
         keep_last = max(1, int(keep_last))
         cutoff = max(0, cur - keep_last + 1)
         keep_paths: set[str] = set()
-        for v in range(cutoff, cur + 1):
+        referenced_any: set[str] = set()
+        for v in range(cur + 1):
             try:
                 for f in self.manifest(v)["files"]:
-                    keep_paths.add(f["path"])
+                    referenced_any.add(f["path"])
+                    if v >= cutoff:
+                        keep_paths.add(f["path"])
             except FileNotFoundError:
                 continue
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
+        now = time.time()
         for root, _dirs, names in os.walk(data_root, topdown=False):
             for nm in names:
                 full = os.path.join(root, nm)
                 rel = os.path.relpath(full, self.path)
-                if nm.endswith(".parquet") and rel not in keep_paths:
-                    os.remove(full)
-                    removed += 1
+                if not nm.endswith(".parquet") or rel in keep_paths:
+                    continue
+                if rel not in referenced_any:
+                    # TRUE orphan: referenced by NO manifest. It may be a
+                    # losing commit attempt's leftovers — but it may also
+                    # be a CONCURRENT IN-FLIGHT writer's files, written
+                    # before its commit. Iceberg's remove_orphan_files
+                    # applies a min-age cutoff for exactly this race;
+                    # young orphans survive until the next expiry pass.
+                    try:
+                        if now - os.path.getmtime(full) < orphan_min_age_s:
+                            continue
+                    except OSError:
+                        continue
+                os.remove(full)
+                removed += 1
             if not os.listdir(root) and root != data_root:
                 os.rmdir(root)
         expired = 0

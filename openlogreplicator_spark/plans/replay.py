@@ -47,25 +47,9 @@ def bootstrap_target(path: str, cfg: EngineConfig) -> LakeTable:
 
 def _commit_watermark(table: LakeTable, composite: int,
                       summary: dict) -> None:
-    """Metadata-only watermark advance (no data files), safe under
-    concurrent writers: on CommitConflict the manifest is re-read and the
-    commit retried; the watermark only ever moves forward (max), so a
-    concurrent writer that already advanced past ``composite`` turns this
-    into a harmless no-op commit."""
-    from openlogreplicator_spark.lake import CommitConflict
-
-    for _ in range(5):
-        m = dict(table.manifest())
-        m.update(version=m["version"] + 1, parent=m["version"],
-                 last_batch_id=max(composite, m["last_batch_id"]),
-                 summary=summary)
-        try:
-            table._commit(m)
-            return
-        except CommitConflict:
-            table._manifest_cache.pop(m["version"], None)
-            continue
-    raise CommitConflict(f"watermark commit for batch {composite} kept losing")
+    """Metadata-only watermark advance — delegates to the table's retried
+    ``commit_watermark`` (one conflict-retry policy for every commit)."""
+    table.commit_watermark(composite, summary)
 
 
 def _apply_ddl(table: LakeTable, ddl: str) -> None:

@@ -183,7 +183,7 @@ def streaming_assembly_slim(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     ``streaming_assembly``): the wide text payload NEVER crosses the state
     boundary — state rows hold only (scn, seq, op, conv_id, turn_idx) per
     buffered event, shrinking checkpointed state by the payload fraction
-    (measured ~6x on ~330 B payloads, tools/probe_state_size.py). The
+    (measured ~11.6x on ~330 B payloads, tools/probe_state_size.py). The
     emitted stream is keys-only too; ``rejoin_payload`` recovers the full
     change image batch-side from the feed's own immutable files with an
     scn-bounded pruned read (the feed IS the payload store — its files are
@@ -200,18 +200,28 @@ def streaming_assembly_slim(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
-def rejoin_payload(spark, slim_committed: DataFrame, feed_dir: str) -> DataFrame:
+def rejoin_payload(spark, slim_committed: DataFrame, feed_dir: str,
+                   bounds: "tuple[int, int] | None" = None) -> DataFrame:
     """Recover payloads for a batch of slim committed rows: read the feed
     scn-bounded (files pruned via parquet min/max stats — the feed's seq
     files are scn-ordered), join on the event identity (xid, scn, seq),
-    then unnest packed multi-row events. One bounded driver action for the
-    scn range + one join whose left side is the batch (broadcastable)."""
+    then unnest packed multi-row events.
+
+    ``bounds``: (scn_lo, scn_hi) of the slim batch, when the caller
+    already knows it — the streaming pipeline tracks per-batch scn ranges
+    in its lineage, so passing them keeps this a SINGLE traversal of the
+    slim plan. Without bounds, the slim side is persisted for the
+    duration of the call (it is keys-only, so the cache is small) so the
+    min/max pre-pass does not recompute the upstream plan twice."""
     from openlogreplicator_spark.operators.decode import unnest_multirow
 
-    lohi = slim_committed.agg(
-        F.min("scn").alias("lo"), F.max("scn").alias("hi")).first()
-    rng = (F.lit(False) if lohi["lo"] is None
-           else F.col("scn").between(int(lohi["lo"]), int(lohi["hi"])))
+    if bounds is None:
+        slim_committed = slim_committed.persist()
+        lohi = slim_committed.agg(
+            F.min("scn").alias("lo"), F.max("scn").alias("hi")).first()
+        bounds = (lohi["lo"], lohi["hi"])
+    rng = (F.lit(False) if bounds[0] is None
+           else F.col("scn").between(int(bounds[0]), int(bounds[1])))
     feed = (
         spark.read.parquet(feed_dir)
         .where(rng)

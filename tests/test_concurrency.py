@@ -90,16 +90,37 @@ def test_merge_races_compaction(spark, tmp_path):
 
 
 def test_watermark_noop_commit_retries_under_conflict(spark, tmp_path):
-    """replay's metadata-only watermark advance retries on conflict and
-    never regresses the high-water mark."""
-    from openlogreplicator_spark.plans.replay import _commit_watermark
-
+    """The metadata-only watermark advance retries after a REAL injected
+    conflict (an interloper commit lands first), and never regresses the
+    high-water mark."""
     t = _mk(spark, tmp_path / "t")
-    # a concurrent writer advances the watermark past ours between our
-    # manifest read and commit — simulate by pre-advancing
-    _commit_watermark(t, 5000, {"operation": "noop", "batch_id": 5000})
-    _commit_watermark(t, 100, {"operation": "noop", "batch_id": 100})
-    assert t.last_batch_id() == 5000  # never regressed
+    orig = t._commit
+    calls = {"n": 0}
+
+    def flaky(manifest):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # another writer lands between our manifest read and swap:
+            # actually advance the table, then surface the conflict
+            m = dict(t.manifest())
+            m.update(version=m["version"] + 1, parent=m["version"],
+                     summary={"operation": "interloper"})
+            orig(m)
+            raise CommitConflict("injected: interloper won the swap")
+        return orig(manifest)
+
+    t._commit = flaky
+    try:
+        t.commit_watermark(5000, {"operation": "noop", "batch_id": 5000})
+    finally:
+        t._commit = orig
+    assert calls["n"] >= 2  # the retry really ran
+    assert t.last_batch_id() == 5000
+    assert any(s["summary"]["operation"] == "interloper"
+               for s in t.snapshots())
+    # monotonic: a late lower watermark never regresses
+    t.commit_watermark(100, {"operation": "noop", "batch_id": 100})
+    assert t.last_batch_id() == 5000
 
 
 def test_metadata_tables(spark, tmp_path):
@@ -124,3 +145,63 @@ def test_metadata_tables(spark, tmp_path):
     # pre-compact snapshot still lists its delete files
     f_pre = t.files(spark, version=2)
     assert f_pre.where("content = 'eq-del'").count() > 0
+
+
+def test_merge_direct_conflict_falls_back_to_merge(spark, tmp_path):
+    """Bootstrap (merge_direct) losing the commit race must not crash the
+    first batch: it falls back to the general merge path against the
+    fresh state."""
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["k"], num_buckets=4)
+    orig = t._commit
+    calls = {"n": 0}
+
+    def flaky(manifest):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            m = dict(t.manifest())
+            m.update(version=m["version"] + 1, parent=m["version"],
+                     summary={"operation": "interloper"})
+            orig(m)
+            raise CommitConflict("injected")
+        return orig(manifest)
+
+    t._commit = flaky
+    try:
+        rows = [(k, f"v{k}", "I", ["v"]) for k in range(50)]
+        s = t.merge_direct(spark, spark.createDataFrame(rows, UPD), batch_id=1)
+    finally:
+        t._commit = orig
+    assert not s.get("skipped")
+    assert calls["n"] >= 2
+    assert t.read(spark).count() == 50
+    assert t.last_batch_id() == 1
+
+
+def test_expire_spares_young_orphans(spark, tmp_path):
+    """Unreferenced files younger than orphan_min_age_s survive expiry —
+    they may be a concurrent in-flight commit's data (Iceberg
+    remove_orphan_files min-age rule); superseded files (referenced by
+    expired manifests) are removed regardless of age."""
+    import glob
+    import os
+    import shutil
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge(spark, spark.createDataFrame(
+        [(1, "x2", "U", ["v"])], UPD), batch_id=2)  # supersedes bucket files
+
+    existing = glob.glob(os.path.join(t.path, "data", "v*", "**", "*.parquet"),
+                         recursive=True)
+    orphan_dir = os.path.join(t.path, "data", "v99-pending", "_b=0")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-inflight.parquet")
+    shutil.copy(existing[0], orphan)
+
+    r = t.expire_snapshots(keep_last=1)
+    assert os.path.exists(orphan), "young orphan must survive"
+    assert r["expired_manifests"] > 0
+    assert t.read(spark).count() > 0  # current snapshot intact
+
+    r2 = t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
+    assert not os.path.exists(orphan), "aged-out orphan is collected"
+    assert t.read(spark).count() > 0
