@@ -371,3 +371,45 @@ def test_mor_key_widen_mid_stream(spark, tmp_path):
     assert len(st) == 39
     mor.compact(spark)
     assert len(_state(spark, mor)) == 39
+
+
+def test_mor_replay_with_ddl_and_cadence_matches_oracle(spark, tmp_path):
+    """Kitchen sink on the MoR path: mid-feed DDL (ADD COLUMN + WIDEN),
+    scn-chunked batches, compaction interleaved between batches — final
+    state equals the sequential oracle, and delete files written under the
+    pre-DDL schema keep applying across the evolution."""
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.feed import (
+        generate_change_events, sequential_oracle,
+    )
+    from openlogreplicator_spark.plans.replay import (
+        bootstrap_target, replay_batch,
+    )
+
+    cfg = EngineConfig(num_buckets=4, merge_mode="mor")
+    events = generate_change_events(spark, n_txs=200, n_convs=30,
+                                    with_ddl=True, seed=5)
+    oracle = sequential_oracle(events.toPandas())  # keeps `meta`
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    pdf = events.toPandas()
+    scns = sorted(pdf["scn"].tolist())
+    cuts = [0.0, 0.3, 0.6, 0.85, 1.0]
+    for i in range(4):
+        hi = scns[int(cuts[i + 1] * (len(scns) - 1))]
+        replay_batch(spark, events.where(events.scn <= hi), table, cfg,
+                     batch_id=i + 1)
+        if i % 2 == 1:
+            table.compact(spark)
+    table.compact(spark)
+
+    got = (
+        table.read(spark).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        .astype({"turn_idx": "int64"})
+    )
+    assert "meta" in got.columns and got["meta"].notna().any()
+    assert str(table.schema()["turn_idx"].dataType) == "LongType()"
+    want = oracle.astype({"turn_idx": "int64"}).reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
