@@ -424,6 +424,14 @@ def assemble(
         committed = res.where(~F.col("is_open")).drop("is_open")
         open_rows = res.where(F.col("is_open")).drop("is_open", "commit_scn")
         return committed, open_rows
+    # slim_join stays OFF here by measurement, not oversight: it wins the
+    # assembly-only A/B (+23-43%, tools/probe_assembly_slim.py) but the
+    # end-to-end replay A/B shows the verdict+payload double traversal of
+    # the upstream plan erases the sort savings (generated feeds: 66k vs
+    # 112k ev/s AGAINST slim; file-backed feeds: within noise either way,
+    # BENCH.md round-3 'slim SQL assembly' section). Callers whose feed
+    # re-scan is cheap and column-pruned can opt in via
+    # assemble_transactions_sql(..., slim_join=True).
     return assemble_transactions_sql(events, cfg, emit_open=emit_open)
 
 

@@ -8,6 +8,8 @@ per-turn text equality under stable (conv_id, turn_idx) ordering.
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as pd_F
+
 from openlogreplicator_spark.config import EngineConfig
 from openlogreplicator_spark.feed import generate_change_events, sequential_oracle
 from openlogreplicator_spark.plans.replay import bootstrap_target, replay_batch
@@ -227,3 +229,46 @@ def test_replay_with_ddl_matches_oracle(spark, tmp_path):
     assert got["meta"].notna().any(), "post-DDL events must populate meta"
     assert str(table.schema()["turn_idx"].dataType) == "LongType()"
     _assert_state_equals(got, oracle)
+
+
+def test_sql_assembly_slim_join_equals_full(spark):
+    """slim_join=True (verdict windows over slim columns + payload re-join)
+    must produce EXACTLY the full-width window form's output — committed
+    rows and open rows — on a feed with partial rollbacks and packed
+    multi-row events."""
+    from openlogreplicator_spark.operators.assembly import (
+        assemble_transactions_sql,
+    )
+
+    cfg = EngineConfig()
+    events = generate_change_events(spark, n_txs=150, n_convs=20, seed=77,
+                                    p_partial_rollback=0.2)
+    # drop terminators for some txs so open rows exist
+    cut = events.agg(pd_F.expr("percentile(scn, 0.9)")).first()[0]
+    ev = events.where(events.scn <= cut)
+
+    full_out, full_open = assemble_transactions_sql(ev, cfg, emit_open=True)
+    slim_out, slim_open = assemble_transactions_sql(ev, cfg, emit_open=True,
+                                                    slim_join=True)
+    assert full_out.columns == slim_out.columns
+    assert full_open.columns == slim_open.columns
+
+    def norm(df, cols):
+        return (df.select(*cols).toPandas()
+                .sort_values(["xid", "scn", "seq"]).reset_index(drop=True))
+
+    key_cols = ["xid", "scn", "seq", "op", "conv_id", "turn_idx",
+                "commit_scn"]
+    pd.testing.assert_frame_equal(norm(full_out, key_cols),
+                                  norm(slim_out, key_cols))
+    open_cols = ["xid", "scn", "seq", "op"]
+    pd.testing.assert_frame_equal(norm(full_open, open_cols),
+                                  norm(slim_open, open_cols))
+    assert norm(full_open, open_cols).shape[0] > 0
+    # payload equality on the committed side
+    txt = ["xid", "scn", "seq"]
+    a = (full_out.select(*txt, pd_F.col("after.text").alias("t"))
+         .toPandas().sort_values(txt).reset_index(drop=True))
+    b = (slim_out.select(*txt, pd_F.col("after.text").alias("t"))
+         .toPandas().sort_values(txt).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
