@@ -96,7 +96,8 @@ def _value(name: str, v) -> bytes:
             return out
         out += _tag(4, 1) + struct.pack("<d", float(v))  # value_double
     elif isinstance(v, (bytes, bytearray)):
-        out += _ld(6, bytes(v))
+        if len(v):  # proto3 default suppression: empty bytes omitted
+            out += _ld(6, bytes(v))
     else:
         if v != v:  # pandas NaT (null timestamp inside an Arrow struct)
             return out

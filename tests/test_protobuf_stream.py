@@ -211,3 +211,61 @@ def test_varint_edge_values():
     n, _ = _rd_varint(_varint(-1), 0)
     assert n == (1 << 64) - 1  # -1 as uint64, 10 bytes on the wire
     assert len(_varint(-1)) == 10
+
+
+def test_varint_roundtrip_property():
+    """Any int64 round-trips through the hand-rolled varint (negatives in
+    the two's-complement 10-byte form protobuf uses)."""
+    from hypothesis import given, settings, strategies as st
+
+    from openlogreplicator_spark.sinks.protobuf_stream import _varint
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1))
+    def check(n):
+        raw = _varint(n)
+        got, consumed = _rd_varint(raw, 0)
+        assert consumed == len(raw)
+        assert got == (n if n >= 0 else n + (1 << 64))
+
+    check()
+
+
+def test_value_message_roundtrip_property():
+    """Value messages survive arbitrary unicode names/strings and int64
+    payloads through the independent decoder."""
+    from hypothesis import given, settings, strategies as st
+
+    from openlogreplicator_spark.sinks.protobuf_stream import _value
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        name=st.text(min_size=1, max_size=30),
+        val=st.one_of(
+            st.none(),
+            st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1),
+            st.text(max_size=80),
+            st.binary(max_size=40),
+        ),
+    )
+    def check(name, val):
+        decoded = _values([_value(name, val)])
+        assert name in decoded
+        kind, got = decoded[name]
+        if val is None:
+            assert kind == "null"
+        elif isinstance(val, int):
+            if val == 0:
+                assert kind == "null"  # proto3 zero-default suppression
+            else:
+                assert kind == "int"
+                assert got == (val if val >= 0 else val + (1 << 64))
+        elif isinstance(val, bytes):
+            assert (kind, got) == (("bytes", val) if val else ("null", None))
+        else:
+            if val == "":
+                assert kind == "null"  # empty string suppressed
+            else:
+                assert (kind, got) == ("string", val)
+
+    check()
