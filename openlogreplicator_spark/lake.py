@@ -76,17 +76,27 @@ def _retry_conflict(fn):
     decorated method re-reads state at its top and is idempotent (merge
     re-checks the batch-id watermark, DDLs re-check applied state), so a
     retry after a concurrent writer is safe. The losing attempt's data
-    files are unreferenced orphans; expire_snapshots collects them."""
+    files are unreferenced orphans; expire_snapshots collects them.
+
+    Retries back off exponentially with jitter (Iceberg's
+    commit.retry.min/max-wait-ms analog): under sustained contention —
+    e.g. a metadata-only watermark loop racing real merges — a fixed
+    immediate retry can lose the CAS 5 times in a row and surface a
+    spurious failure; jittered backoff desynchronizes the contenders."""
     import functools
+    import random
 
     @functools.wraps(fn)
     def wrapper(self, *a, **kw):
         last = None
-        for _ in range(5):
+        for attempt in range(8):
             try:
                 return fn(self, *a, **kw)
             except CommitConflict as e:
                 last = e
+                # 0-4ms, 0-8ms, ... 0-512ms: cheap vs a multi-second
+                # Spark merge, decisive vs a tight metadata loop
+                time.sleep(random.uniform(0, 0.004 * (2 ** attempt)))
                 continue
         raise last
 
@@ -131,22 +141,55 @@ class _commit_lock:
 
     def _try_break(self) -> None:
         """Remove the lock only if its holder is dead (or the file is
-        implausibly old). Racing breakers are safe: unlink of an already-
-        unlinked path is ignored, and re-acquisition goes through
-        O_CREAT|O_EXCL."""
+        implausibly old). TOCTOU-safe (round 4): breaking happens by an
+        ATOMIC RENAME of the lock file to a per-breaker claim name, so
+        exactly one racing breaker wins it — the old unlink-by-path form
+        raced: between one waiter's staleness read and its unlink, another
+        waiter could break the same stale lock and a NEW holder re-acquire;
+        the first waiter's unlink then removed the live holder's file,
+        letting two writers into the commit critical section. After
+        claiming, the content is re-verified against the stale token
+        observed; a mismatched claim (a fresh holder's file slipped into
+        the read->rename window) is atomically restored via ``os.link``.
+        The restore can only be needed when ANOTHER breaker broke first
+        (the path is occupied continuously from our read until a rename),
+        so the residual exposure needs a 4-way race inside microseconds of
+        a 300-second staleness window — and the restored holder's
+        ``__exit__`` token check means a failed restore degrades to a
+        commit-conflict retry, never a silent double-release."""
         try:
             with open(self.lock_path) as f:
-                content = f.read()
-            pid = int(content.split(":", 1)[0])
+                stale = f.read()
+            pid = int(stale.split(":", 1)[0])
             alive = self._pid_alive(pid)
             age = time.time() - os.path.getmtime(self.lock_path)
         except (FileNotFoundError, ValueError, OSError):
             return  # gone, or unreadable mid-write: retry acquisition
-        if not alive or age > self.max_age_s:
+        if alive and age <= self.max_age_s:
+            return  # live holder keeps exclusion
+        claim = f"{self.lock_path}.break.{self._token}"
+        try:
+            os.rename(self.lock_path, claim)  # atomic: one breaker wins
+        except (FileNotFoundError, OSError):
+            return  # another breaker claimed it first; retry acquisition
+        try:
+            with open(claim) as f:
+                got = f.read()
+        except OSError:
+            got = None
+        if got != stale:
+            # claimed a fresh holder's file, not the stale one we verified:
+            # put it back atomically (link fails if a third party already
+            # re-created the path — then the displaced holder's release is
+            # a no-op by token check and its commit retries as a conflict)
             try:
-                os.unlink(self.lock_path)
-            except FileNotFoundError:
+                os.link(claim, self.lock_path)
+            except (FileExistsError, OSError):
                 pass
+        try:
+            os.unlink(claim)
+        except FileNotFoundError:  # pragma: no cover
+            pass
 
     def __enter__(self):
         deadline = time.time() + self.timeout_s
@@ -378,6 +421,65 @@ class LakeTable:
             )
             _atomic_write(os.path.join(self.path, _POINTER), str(v))
         self._manifest_cache[v] = manifest
+
+    @staticmethod
+    def _rebase_safe(base: dict, fresh: dict, touched: set) -> bool:
+        """True when a merge computed against ``base`` may recommit on top
+        of ``fresh`` without recomputing: nothing it read or replaces moved
+        — same schema/keys/buckets, and the touched buckets' file sets are
+        byte-for-byte identical (intervening commits only touched OTHER
+        buckets or were metadata-only)."""
+        if (fresh.get("schema_id") != base.get("schema_id")
+                or fresh.get("key_cols") != base.get("key_cols")
+                or fresh.get("num_buckets") != base.get("num_buckets")):
+            return False
+
+        def sig(man):
+            return sorted(
+                f["path"] for f in man["files"] if f["bucket"] in touched
+            )
+
+        return sig(fresh) == sig(base)
+
+    def _commit_rebased(self, base: dict, build, touched, batch_id=None):
+        """Commit with REBASE-on-conflict (Iceberg's retry applies the
+        pending changes to the refreshed metadata instead of re-running the
+        job): ``build(manifest) -> manifest`` assembles the commit from any
+        base using the ALREADY-WRITTEN data files. On CommitConflict the
+        loop re-reads the fresh manifest and, when ``_rebase_safe`` holds
+        (only disjoint buckets / metadata moved underneath), recommits in
+        O(manifest) — the expensive Spark job never re-runs, and a fast
+        metadata writer (watermark loop, external maintenance) can no
+        longer starve a multi-second merge out of its 5 full-recompute
+        retries. An UNSAFE rebase (touched buckets changed, DDL landed)
+        re-raises to the outer ``@_retry_conflict`` full recompute.
+
+        Returns the committed manifest, or None when another writer
+        already applied ``batch_id`` (the idempotence skip)."""
+        import random
+
+        new = build(base)
+        try:
+            self._commit(new)
+            return new
+        except CommitConflict:
+            pass
+        tset = set(touched)
+        for attempt in range(64):
+            fresh = dict(self.manifest())
+            if batch_id is not None and batch_id <= fresh["last_batch_id"]:
+                return None
+            if not self._rebase_safe(base, fresh, tset):
+                raise CommitConflict(
+                    "rebase unsafe: touched buckets or schema changed "
+                    f"between v{base['version']} and v{fresh['version']}")
+            new = build(fresh)
+            try:
+                self._commit(new)
+                return new
+            except CommitConflict:
+                time.sleep(random.uniform(0, 0.002 * min(attempt + 1, 32)))
+        raise CommitConflict("rebase retries exhausted")
 
     # ------------------------------------------------------------------- read
 
@@ -774,7 +876,6 @@ class LakeTable:
         new_entries = self._write_data(
             merged, v, pre_partitioned=(not base_has_rows) and updates_bucketed
         )
-        kept = [f for f in m["files"] if f["bucket"] not in set(touched)]
         rows_merged = sum(e["rows"] for e in new_entries)
 
         smry = {
@@ -785,20 +886,29 @@ class LakeTable:
             "wall_ms": int((time.time() - t0) * 1000),
             **(summary or {}),
         }
-        new = dict(m)
-        new.update(
-            version=v,
-            files=kept + new_entries,
-            parent=m["version"],
-            last_batch_id=batch_id,
-            last_scn=max(int((summary or {}).get("scn_max", -1)), m["last_scn"]),
-            summary=smry,
-        )
-        self._commit(new)
-        smry["snapshot_id"] = v
+        tset = set(touched)
+
+        def build(mb):
+            n = dict(mb)
+            n.update(
+                version=mb["version"] + 1,
+                files=[f for f in mb["files"] if f["bucket"] not in tset]
+                + new_entries,
+                parent=mb["version"],
+                last_batch_id=max(batch_id, mb["last_batch_id"]),
+                last_scn=max(int((summary or {}).get("scn_max", -1)),
+                             mb["last_scn"]),
+                summary=smry,
+            )
+            return n
+
+        committed = self._commit_rebased(m, build, touched, batch_id)
+        if committed is None:
+            return {"operation": "merge", "skipped": True,
+                    "reason": f"batch {batch_id} applied by concurrent writer"}
+        smry["snapshot_id"] = committed["version"]
         return smry
 
-    @_retry_conflict
     @_retry_conflict
     def commit_watermark(self, batch_id: int, summary: dict) -> None:
         """Metadata-only watermark advance (no data files) — used by empty
@@ -934,17 +1044,24 @@ class LakeTable:
             "wall_ms": int((time.time() - t0) * 1000),
             **(summary or {}),
         }
-        new = dict(m)
-        new.update(
-            version=v,
-            files=list(m["files"]) + data_entries + del_entries,
-            parent=m["version"],
-            last_batch_id=batch_id,
-            last_scn=max(int((summary or {}).get("scn_max", -1)), m["last_scn"]),
-            summary=smry,
-        )
-        self._commit(new)
-        smry["snapshot_id"] = v
+        def build(mb):
+            n = dict(mb)
+            n.update(
+                version=mb["version"] + 1,
+                files=list(mb["files"]) + data_entries + del_entries,
+                parent=mb["version"],
+                last_batch_id=max(batch_id, mb["last_batch_id"]),
+                last_scn=max(int((summary or {}).get("scn_max", -1)),
+                             mb["last_scn"]),
+                summary=smry,
+            )
+            return n
+
+        committed = self._commit_rebased(m, build, touched, batch_id)
+        if committed is None:
+            return {"operation": "merge", "skipped": True,
+                    "reason": f"batch {batch_id} applied by concurrent writer"}
+        smry["snapshot_id"] = committed["version"]
         return smry
 
     @_retry_conflict

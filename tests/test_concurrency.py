@@ -123,6 +123,131 @@ def test_watermark_noop_commit_retries_under_conflict(spark, tmp_path):
     assert t.last_batch_id() == 5000
 
 
+def test_stale_lock_break_race_keeps_mutual_exclusion(tmp_path):
+    """A dead holder's lock file is broken under contention WITHOUT ever
+    letting two waiters into the critical section (round-4 TOCTOU fix:
+    the break is an atomic rename-claim, so racing breakers can't unlink
+    a lock a fresh live holder re-created)."""
+    import os
+    import time as _time
+
+    from openlogreplicator_spark.lake import _commit_lock
+
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    lock_path = tdir / "_commit.lock"
+    # stale via the AGE cutoff (deterministic — a dead subprocess pid can
+    # be recycled within seconds here: pid_max=32k and JVM threads share
+    # the pid space, which made the dead-pid form flaky)
+    lock_path.write_text(f"{os.getpid()}:stale-token")
+    old = _time.time() - 10_000
+    os.utime(lock_path, (old, old))
+
+    gauge = {"cur": 0, "max": 0, "entries": 0}
+    mu = threading.Lock()
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(5):
+                with _commit_lock(str(tdir), timeout_s=30):
+                    with mu:
+                        gauge["cur"] += 1
+                        gauge["entries"] += 1
+                        gauge["max"] = max(gauge["max"], gauge["cur"])
+                    _time.sleep(0.001)
+                    with mu:
+                        gauge["cur"] -= 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(12)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors, errors
+    assert gauge["entries"] == 60
+    assert gauge["max"] == 1, "two waiters entered the critical section"
+    assert not lock_path.exists()
+    # no leaked break-claim files
+    assert not list(tdir.glob("_commit.lock.break.*"))
+
+
+def test_live_lock_is_never_broken(tmp_path):
+    """A lock whose recorded pid is ALIVE and young must survive
+    _try_break — waiters time out instead of stealing it."""
+    import os
+
+    import pytest as _pytest
+
+    from openlogreplicator_spark.lake import _commit_lock
+
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    lock_path = tdir / "_commit.lock"
+    lock_path.write_text(f"{os.getpid()}:live-holder")
+
+    waiter = _commit_lock(str(tdir), timeout_s=0.2)
+    with _pytest.raises(TimeoutError):
+        waiter.__enter__()
+    assert lock_path.read_text() == f"{os.getpid()}:live-holder"
+
+
+def test_watermark_races_merge(spark, tmp_path):
+    """commit_watermark (metadata-only) hammering the table concurrently
+    with real merges: no lost merge, watermark monotone, every snapshot
+    chain intact (verdict item 6 — watermark-vs-merge was untested)."""
+    t = _mk(spark, tmp_path / "t")
+    stop = threading.Event()
+    errors = []
+    gauge_noops = []
+
+    def watermarker():
+        # an empty-slice replay of an OLD batch id: commits manifest
+        # versions (racing the merges at the CAS) but must never advance
+        # the idempotence HWM past in-flight merges
+        m = LakeTable(t.path)  # external handle
+        n = 0
+        while not stop.is_set():
+            n += 1
+            try:
+                m.commit_watermark(1, {"operation": "noop", "batch_id": 1})
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+        gauge_noops.append(n)
+
+    th = threading.Thread(target=watermarker, daemon=True)
+    th.start()
+    try:
+        for b in range(2, 8):
+            rows = [(k, f"b{b}_{k}", "U", ["v"])
+                    for k in range(b * 10, b * 10 + 10)]
+            t.merge(spark, spark.createDataFrame(rows, UPD), batch_id=b)
+    finally:
+        stop.set()
+        th.join(timeout=60)
+    assert not errors, errors
+
+    got = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    ref = _mk(spark, tmp_path / "ref")
+    for b in range(2, 8):
+        rows = [(k, f"b{b}_{k}", "U", ["v"])
+                for k in range(b * 10, b * 10 + 10)]
+        ref.merge(spark, spark.createDataFrame(rows, UPD), batch_id=b)
+    want = ref.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert t.last_batch_id() == 7  # merges win the HWM; noops never regress it
+    assert gauge_noops and gauge_noops[0] > 0  # the watermarker really ran
+    # parent chain is a single line: every manifest's parent is version-1
+    # (the CAS refused every fork), and versions are contiguous
+    versions = sorted(s["version"] for s in t.snapshots())
+    assert versions == list(range(versions[0], versions[-1] + 1))
+    for v in versions[1:]:
+        assert t.manifest(v)["parent"] == v - 1
+
+
 def test_metadata_tables(spark, tmp_path):
     """history()/files() metadata tables (Iceberg <table>.history/.files):
     queryable DataFrames over the manifests, no data I/O."""
