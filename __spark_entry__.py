@@ -324,6 +324,52 @@ def _q_json_stream(spark, sf_dir):
     )
 
 
+def _q_protobuf_stream(spark, sf_dir):
+    """O2 oracle check (the JSON sink graduated the same way in round 3):
+    serialize per-transaction PROTOBUF messages against the reference's
+    field numbers (sinks/protobuf_stream.py, OraProtoBuf.proto:118-152),
+    DECODE THE BYTES BACK with the consumer-side reference decoder
+    (decoded_ops verifies the BEGIN..COMMIT bracketing too), and emit the
+    same relational facts as cdc_json_stream: op codes in (scn, seq)
+    order, the key sequence, and the text payload sequence per
+    transaction. The DuckDB oracle reconstructs them from `surv` — an
+    encoder bug (wrong field number, oneof presence, dropped op, order)
+    breaks the match."""
+    from openlogreplicator_spark.sinks.protobuf_stream import (
+        decoded_ops,
+        protobuf_stream_messages,
+    )
+
+    ev = derive_feed(spark, sf_dir)
+    surv = assemble_transactions_sql(ev, _CFG)
+    ops = decoded_ops(protobuf_stream_messages(surv, _CFG))
+    per_tx = ops.groupBy("commit_scn", "xid").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("pos"), F.struct("op", "conv_id", "turn_idx", "text")
+            .alias("o")))).alias("seq"),
+    )
+    o = lambda x: x["o"]  # noqa: E731
+    return per_tx.select(
+        "commit_scn", "xid", "n_ops",
+        F.concat_ws("", F.transform(
+            F.col("seq"),
+            lambda x: F.when(o(x)["op"] == "I", "c")
+            .when(o(x)["op"] == "U", "u").otherwise("d"),
+        )).alias("ops_codes"),
+        F.concat_ws(",", F.transform(
+            F.col("seq"),
+            lambda x: F.concat_ws(":", o(x)["conv_id"],
+                                  o(x)["turn_idx"].cast("string")),
+        )).alias("keys_str"),
+        F.concat_ws("|", F.transform(
+            F.col("seq"),
+            lambda x: F.when(o(x)["op"] == "D", F.lit(""))
+            .otherwise(F.coalesce(o(x)["text"], F.lit(""))),
+        )).alias("texts"),
+    )
+
+
 def _q_scd2(spark, sf_dir):
     """SCD Type-2 history: every committed I/U becomes a version row with
     the key's full reconstructed state and a [valid_from, valid_to) ordinal
@@ -484,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_before_trim": _q_before_trim,
         "cdc_update_trim": _q_update_trim,
         "cdc_json_stream": _q_json_stream,
+        "cdc_protobuf_stream": _q_protobuf_stream,
         "cdc_multirow_unnest": _q_multirow_unnest,
         "cdc_scd2": _q_scd2,
         "cdc_conv_rollup": _q_conv_rollup,
@@ -811,6 +858,19 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE prev IS NOT NULL
         """,
         "cdc_json_stream": FEED_SQL + """
+            SELECT commit_scn, xid,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   string_agg(CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u'
+                              ELSE 'd' END, '' ORDER BY scn, seq) AS ops_codes,
+                   string_agg(conv_id || ':' || CAST(turn_idx AS VARCHAR),
+                              ',' ORDER BY scn, seq) AS keys_str,
+                   string_agg(CASE WHEN op = 'D' THEN '' ELSE text_v END,
+                              '|' ORDER BY scn, seq) AS texts
+            FROM surv GROUP BY xid, commit_scn
+        """,
+        # same relational facts as the JSON row — the protobuf query decodes
+        # its own wire bytes back before comparing
+        "cdc_protobuf_stream": FEED_SQL + """
             SELECT commit_scn, xid,
                    CAST(COUNT(*) AS BIGINT) AS n_ops,
                    string_agg(CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u'

@@ -144,8 +144,12 @@ def encode_request(code: int, database_name: str, scn: int | None = None,
 
 
 def _status_response(code: int, scn: int | None = None) -> bytes:
+    # RedoResponse.scn sits inside oneof scn_val (OraProtoBuf.proto:139):
+    # explicit presence — scn 0 is a legitimate resume point and must be
+    # distinguishable from "no scn", so only None is suppressed. Negative
+    # sentinel values (-1 = nothing confirmed yet) stay unset.
     out = b"" if code == 0 else _vint(1, code)
-    if scn is not None and scn > 0:
+    if scn is not None and scn >= 0:
         out += _vint(2, scn)
     return out
 

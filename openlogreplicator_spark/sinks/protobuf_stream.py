@@ -80,30 +80,33 @@ def _vint(field: int, n: int) -> bytes:
 
 def _value(name: str, v) -> bytes:
     """One ``Value`` message: name + oneof datum by python type (mirrors
-    OutputBufferProtobuf.cpp:49-99 valueInt/valueDouble/valueString)."""
+    OutputBufferProtobuf.cpp:49-99 valueInt/valueDouble/valueString).
+
+    ``datum`` is a proto3 ONEOF (OraProtoBuf.proto:82-88), so its members
+    have EXPLICIT presence: the reference's set_value_int(0) /
+    set_value_string("") always serialize, and a stock protobuf consumer
+    distinguishes a set zero/empty from an unset datum (NULL column).
+    Zero-default suppression therefore applies only to NON-oneof fields —
+    the round-3 encoder wrongly suppressed 0, "", and b"" here, turning
+    them into NULLs on the wire (silent data corruption for any consumer
+    honoring oneof presence). Only a true NULL column is name-only."""
     import numpy as np
 
     out = _ld(1, name.encode("utf-8"))
     if v is None:
         return out  # name-only: NULL column (reference columnNull, :48-53)
-    if isinstance(v, (bool, np.bool_)):
-        out += _vint(2, int(v))
-    elif isinstance(v, (int, np.integer)):
-        if int(v) != 0:  # proto3 zero-default suppression
-            out += _vint(2, int(v))
+    if isinstance(v, (bool, np.bool_, int, np.integer)):
+        out += _vint(2, int(v))  # oneof: 0 and False are emitted
     elif isinstance(v, (float, np.floating)):
         if v != v:  # NaN -> NULL column
             return out
         out += _tag(4, 1) + struct.pack("<d", float(v))  # value_double
     elif isinstance(v, (bytes, bytearray)):
-        if len(v):  # proto3 default suppression: empty bytes omitted
-            out += _ld(6, bytes(v))
+        out += _ld(6, bytes(v))  # oneof: empty bytes are emitted
     else:
         if v != v:  # pandas NaT (null timestamp inside an Arrow struct)
             return out
-        s = str(v).encode("utf-8")
-        if s:
-            out += _ld(5, s)
+        out += _ld(5, str(v).encode("utf-8"))  # oneof: "" is emitted
     return out
 
 
@@ -127,9 +130,11 @@ def _payload_msg(op_enum: int, schema: bytes | None,
 
 
 def _response(scn: int, xid: str, payloads: list[bytes]) -> bytes:
+    # scn sits inside oneof scn_val and xid inside oneof xid_val
+    # (OraProtoBuf.proto:139-147): explicit presence, so scn=0 — a
+    # legitimate resume point — is emitted, never collapsed to "no scn"
     out = _vint(1, _PAYLOAD_CODE)
-    if scn:
-        out += _vint(2, int(scn))
+    out += _vint(2, int(scn))
     out += _ld(6, str(xid).encode("utf-8"))
     for p in payloads:
         out += _ld(8, p)
@@ -268,6 +273,138 @@ def protobuf_stream_messages(
         encode,
         "commit_scn long, xid string, n_ops int, msg_seq int, n_msgs int,"
         " value binary",
+    )
+
+
+# ------------------------------------------------------------ wire decoding
+#
+# Consumer-side reference decoder: what a client holding OraProtoBuf.proto
+# does with a stock protobuf library, hand-rolled here for the same reason
+# as the encoder (no protobuf runtime in the sandbox). It doubles as the
+# engine's own round-trip check — the driver's cdc_protobuf_stream
+# correctness row encodes the assembled stream, DECODES it with this, and
+# compares the recovered relational facts against an independent SQL
+# reconstruction of the feed (the JSON sink is validated the same way).
+
+def _rd_varint(b: bytes, i: int) -> tuple[int, int]:
+    n, shift = 0, 0
+    while True:
+        x = b[i]
+        i += 1
+        n |= (x & 0x7F) << shift
+        if not x & 0x80:
+            return n, i
+        shift += 7
+
+
+def _parse_fields(b: bytes) -> dict[int, list]:
+    """One message level: field number -> raw values in wire order
+    (int for varint, bytes for length-delimited / fixed)."""
+    i, out = 0, {}
+    while i < len(b):
+        key, i = _rd_varint(b, i)
+        f, w = key >> 3, key & 7
+        if w == 0:
+            v, i = _rd_varint(b, i)
+        elif w == 2:
+            ln, i = _rd_varint(b, i)
+            v = b[i:i + ln]
+            i += ln
+        elif w == 1:
+            v, i = b[i:i + 8], i + 8
+        elif w == 5:
+            v, i = b[i:i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {w}")
+        out.setdefault(f, []).append(v)
+    return out
+
+
+def _decode_value(raw: bytes):
+    """Value message -> (name, python value). Oneof presence respected:
+    absent datum -> None (NULL column); value_int decodes int64
+    two's-complement."""
+    m = _parse_fields(raw)
+    name = m[1][0].decode("utf-8")
+    if 2 in m:
+        v = m[2][0]
+        return name, (v - (1 << 64) if v >= (1 << 63) else v)
+    if 4 in m:
+        return name, struct.unpack("<d", m[4][0])[0]
+    if 5 in m:
+        return name, m[5][0].decode("utf-8")
+    if 6 in m:
+        return name, m[6][0]
+    return name, None
+
+
+_OP_NAME = {v: k for k, v in _OP_ENUM.items()}
+
+
+def decode_response(b: bytes) -> dict:
+    """RedoResponse bytes -> {code, scn, xid, payloads:[{op, schema:
+    (owner, name) | None, before:{..}, after:{..}, ddl}]}."""
+    m = _parse_fields(b)
+    out = {
+        "code": m.get(1, [0])[0],
+        "scn": m[2][0] if 2 in m else None,
+        "xid": m[6][0].decode("utf-8") if 6 in m else None,
+        "payloads": [],
+    }
+    for raw in m.get(8, []):
+        p = _parse_fields(raw)
+        entry = {
+            "op": _OP_NAME.get(p.get(1, [0])[0], "?"),
+            "schema": None,
+            "before": dict(_decode_value(v) for v in p.get(4, [])),
+            "after": dict(_decode_value(v) for v in p.get(5, [])),
+            "ddl": p[6][0].decode("utf-8") if 6 in p else None,
+        }
+        if 2 in p:
+            s = _parse_fields(p[2][0])
+            entry["schema"] = (s[1][0].decode(), s[2][0].decode())
+        out["payloads"].append(entry)
+    return out
+
+
+def decoded_ops(messages: DataFrame) -> DataFrame:
+    """Decode a per-transaction protobuf stream back to one row per DML op
+    (the consumer's view): verifies the BEGIN..ops..COMMIT bracketing and
+    emits (commit_scn, xid, pos, op, conv_id, turn_idx, text). Arrow-batched
+    ``mapInPandas`` — byte-level parsing is the same genuinely-non-SQL
+    kernel shape as the encoder."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"commit_scn": [], "xid": [], "pos": [], "op": [],
+                    "conv_id": [], "turn_idx": [], "text": []}
+            for r in pdf.itertuples():
+                resp = decode_response(bytes(r.value))
+                pays = resp["payloads"]
+                first, last = int(r.msg_seq) == 0, \
+                    int(r.msg_seq) == int(r.n_msgs) - 1
+                if first and (not pays or pays[0]["op"] != "BEGIN"):
+                    raise ValueError("missing BEGIN bracket")
+                if last and (not pays or pays[-1]["op"] != "COMMIT"):
+                    raise ValueError("missing COMMIT bracket")
+                dml = pays[int(first):len(pays) - int(last)]
+                for pos, p in enumerate(dml):
+                    vals = p["before"] if p["op"] == "D" else p["after"]
+                    rows["commit_scn"].append(resp["scn"])
+                    rows["xid"].append(resp["xid"])
+                    rows["pos"].append(int(r.msg_seq) * (1 << 20) + pos)
+                    rows["op"].append(p["op"])
+                    rows["conv_id"].append(vals.get("conv_id"))
+                    rows["turn_idx"].append(vals.get("turn_idx"))
+                    rows["text"].append(vals.get("text"))
+            yield pd.DataFrame(rows)
+
+    return messages.mapInPandas(
+        decode,
+        "commit_scn long, xid string, pos long, op string, conv_id string,"
+        " turn_idx long, text string",
     )
 
 

@@ -121,10 +121,9 @@ def test_per_op_wire_format(spark):
             for c in want["cols_set"] or []:
                 assert c in vals
         assert vals["conv_id"] == ("string", want["conv_id"])
-        # int64 turn_idx rides value_int (zero suppressed to null-kind)
-        kind, v = vals["turn_idx"]
-        assert (kind, v) == ("int", want["turn_idx"]) or (
-            want["turn_idx"] == 0 and kind == "null")
+        # int64 turn_idx rides value_int — oneof member, so 0 is EMITTED
+        # (explicit presence; round-4 fix of the wrong zero suppression)
+        assert vals["turn_idx"] == ("int", want["turn_idx"])
 
 
 def test_per_tx_begin_commit_bracketing(spark):
@@ -197,6 +196,43 @@ def test_golden_digest_and_file_sink(spark, tmp_path):
     assert back == vals
 
 
+def test_decoded_ops_roundtrip_across_splits(spark):
+    """The consumer-side reference decoder (decoded_ops) recovers every DML
+    op — including across M1 split continuations — with key/text/op intact
+    and bracket verification enforced."""
+    from openlogreplicator_spark.sinks.protobuf_stream import decoded_ops
+
+    assembled, cfg = _assembled(spark, n_txs=8)
+    msgs = protobuf_stream_messages(assembled, cfg, max_ops_per_message=3)
+    got = decoded_ops(msgs)
+    want = assembled.orderBy("commit_scn", "xid", "scn", "seq").collect()
+    rows = got.orderBy("commit_scn", "xid", "pos").collect()
+    assert len(rows) == len(want)
+    for g, w in zip(rows, want):
+        assert (g["commit_scn"], g["xid"], g["op"]) == \
+            (w["commit_scn"], w["xid"], w["op"])
+        assert (g["conv_id"], g["turn_idx"]) == \
+            (w["conv_id"], w["turn_idx"])
+        if w["op"] != "D" and "text" in (w["cols_set"] or []):
+            assert g["text"] == w["after"]["text"]
+
+
+def test_oneof_explicit_presence_zero_vs_null():
+    """oneof members keep explicit presence: a set 0 / "" / b"" is on the
+    wire and distinguishable from an unset datum (NULL column); scn=0 is a
+    legitimate resume point in RedoResponse.scn_val (ADVICE round-3)."""
+    from openlogreplicator_spark.sinks.protobuf_stream import _response, _value
+
+    m = _parse(_response(0, "x", []))
+    assert m[2] == [0]  # scn=0 emitted, not collapsed to "no scn"
+    vals = _values([_value("a", 0), _value("b", None),
+                    _value("c", ""), _value("d", b"")])
+    assert vals["a"] == ("int", 0)
+    assert vals["b"] == ("null", None)
+    assert vals["c"] == ("string", "")
+    assert vals["d"] == ("bytes", b"")
+
+
 def test_varint_edge_values():
     """Encoder unit edges: 0, 127/128 boundary, int64 max, negative int64
     (two's-complement 10-byte form — protobuf WriteVarint64 parity)."""
@@ -253,19 +289,14 @@ def test_value_message_roundtrip_property():
         assert name in decoded
         kind, got = decoded[name]
         if val is None:
-            assert kind == "null"
+            assert kind == "null"  # only a true NULL column is name-only
         elif isinstance(val, int):
-            if val == 0:
-                assert kind == "null"  # proto3 zero-default suppression
-            else:
-                assert kind == "int"
-                assert got == (val if val >= 0 else val + (1 << 64))
+            # oneof member: explicit presence — 0 is on the wire
+            assert kind == "int"
+            assert got == (val if val >= 0 else val + (1 << 64))
         elif isinstance(val, bytes):
-            assert (kind, got) == (("bytes", val) if val else ("null", None))
+            assert (kind, got) == ("bytes", val)  # b"" emitted (oneof)
         else:
-            if val == "":
-                assert kind == "null"  # empty string suppressed
-            else:
-                assert (kind, got) == ("string", val)
+            assert (kind, got) == ("string", val)  # "" emitted (oneof)
 
     check()
