@@ -380,10 +380,8 @@ def _q_scd2(spark, sf_dir):
 
     ev = derive_feed(spark, sf_dir)
     surv = assemble_transactions_sql(ev, _CFG)
-    hist = scd2_history(
-        surv, ["conv_id", "turn_idx"], ["role", "text", "ts"],
-        ord_expr=F.col("commit_scn") * F.lit(_ORD) + F.col("scn"),
-    )
+    # default ordinal = the guarded rank-packed packed_version_ord()
+    hist = scd2_history(surv, ["conv_id", "turn_idx"], ["role", "text", "ts"])
     return hist.select(
         "conv_id", "turn_idx", "role", "text",
         F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -677,10 +675,14 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 # key's carried state (per-epoch last-set per column — update trim carries
 # values forward, a delete ends the epoch so nothing leaks across it), with
 # [valid_from, valid_to) ordinal ranges (valid_to = next event of ANY op).
+# the ordinal mirrors the engine's guarded default (packed_version_ord):
+# commit_scn-major, intra-transaction (scn, seq)-rank minor — rank-packed so
+# unbounded global scns can't invert commit order (round-3 verdict item 1)
 _SCD2_SQL = FEED_SQL + f""",
 acts AS (
   SELECT conv_id, turn_idx, op,
-         commit_scn * {_ORD} + scn AS ord,
+         commit_scn * {1 << 20} + (ROW_NUMBER() OVER (
+           PARTITION BY xid, commit_scn ORDER BY scn, seq) - 1) AS ord,
          CASE WHEN op IN ('I','U') AND NOT trimmed THEN event_type END AS role_v,
          CASE WHEN op IN ('I','U') THEN text_v END AS set_text_v,
          CASE WHEN op IN ('I','U') AND NOT trimmed

@@ -25,12 +25,24 @@ guaranteed by commit-ordered flush, G3). A batch with a lower ordinal than
 an already-closed version would interleave history and must be replayed
 through the bounded path instead.
 
-Scale: per batch the work is O(batch) — the history scan is pruned to
-``is_current`` (a partition-able predicate; at 100x the history table
-would partition by is_current or maintain the open set as a separate
-bucketed table so the seed read never touches closed-version files), the
-seed join is a left-semi against the batch's distinct keys (broadcast at
-typical batch sizes), and the MERGE prunes to touched buckets as always.
+Scale: per batch the work is O(batch). The seed source is, by preference:
+
+  * an OPEN-VERSION STORE (round 4, ``open_table``): a second bucketed
+    lake table holding exactly one row per live key (its current open
+    version). The seed read prunes to the batch's TOUCHED BUCKETS via the
+    manifest (file-level pruning) and semi-joins the touched keys — bytes
+    read are O(live keys in touched buckets) and FLAT as closed history
+    grows (tools/probe_scd2_open.py measures this). The store is
+    maintained in the same batch with the same batch_id write-audit, so
+    crash-between-merges replays deterministically: history's merge is
+    skipped by the audit, the open store's re-applies, and the seed read
+    (from the not-yet-updated store) reproduces the same batch output.
+  * without a store, the legacy path scans ``history.read().where(
+    is_current)`` — correct, but the seed read grows with closed history;
+    kept for one-shot/backfill use.
+
+The MERGE prunes to touched buckets as always; the seed semi-join
+broadcasts the batch's distinct keys at typical batch sizes.
 """
 
 from __future__ import annotations
@@ -80,6 +92,42 @@ def bootstrap_scd2_target(
     )
 
 
+def bootstrap_scd2_open_target(
+    path: str,
+    cfg: EngineConfig,
+    payload_schema: StructType | None = None,
+) -> LakeTable:
+    """Create the OPEN-VERSION store: one row per live key — the key's
+    current open version (payload state + its valid_from ordinal), keyed
+    by the key alone. This is the O(live keys) seed source for
+    ``apply_scd2_batch``; the history table holds the full version record.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, TimestampType,
+    )
+
+    if payload_schema is None:
+        payload_schema = StructType([
+            StructField("role", StringType(), True),
+            StructField("text", StringType(), True),
+            StructField("ts", TimestampType(), True),
+        ])
+    fields = (
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", LongType(), False),
+        ]
+        + list(payload_schema.fields)
+        + [StructField("valid_from", LongType(), False)]
+    )
+    return LakeTable.create(
+        path,
+        StructType(fields),
+        ["conv_id", "turn_idx"],
+        num_buckets=cfg.num_buckets,
+    )
+
+
 def apply_scd2_batch(
     spark: SparkSession,
     assembled: DataFrame,
@@ -89,6 +137,7 @@ def apply_scd2_batch(
     payload_cols: tuple[str, ...] = ("role", "text", "ts"),
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     ord_expr: Column | None = None,
+    open_table: "LakeTable | None" = None,
 ) -> dict:
     """Apply one assembled batch to the SCD2 history table (see module doc).
 
@@ -97,20 +146,38 @@ def apply_scd2_batch(
     is skipped by the snapshot write-audit).
     """
     kc = list(key_cols)
-    o = (
-        ord_expr
-        if ord_expr is not None
-        else (F.col("commit_scn") * F.lit(1 << 22) + F.col("scn"))
-    )
+    # default: the guarded rank-packed ordinal (operators/scd2.py) — a pure
+    # function of each transaction's own content, so per-batch values equal
+    # the one-shot computation (transactions never split across assembled
+    # batches) and multi-row unnested ``seq`` sub-ordinals are folded in.
+    # Computed on the batch events BEFORE the seed union: seeds replay
+    # their STORED ordinal, never re-rank.
+    from openlogreplicator_spark.operators.scd2 import packed_version_ord
+
+    o = ord_expr if ord_expr is not None else packed_version_ord()
     ev = assembled.withColumn("_ord0", o.cast("long"))
 
-    # open versions of keys this batch touches (left-semi: no payload dup)
+    # open versions of keys this batch touches (left-semi: no payload dup).
+    # With an open-version store the read is pruned to the touched BUCKETS
+    # via the manifest — O(live keys in touched buckets), flat as closed
+    # history grows; without one, the legacy is_current scan of history.
     keys = ev.select(*kc).distinct()
-    open_v = (
-        history.read(spark)
-        .where(F.col("is_current"))
-        .join(keys, kc, "left_semi")
-    )
+    if open_table is not None:
+        touched = sorted(
+            r[0] for r in keys.select(
+                open_table.bucket_expr(kc).alias("_b")).distinct().collect()
+        )
+        open_v = (
+            open_table.read(spark, buckets=touched)
+            .join(keys, kc, "left_semi")
+            .withColumn("is_current", F.lit(True))
+        )
+    else:
+        open_v = (
+            history.read(spark)
+            .where(F.col("is_current"))
+            .join(keys, kc, "left_semi")
+        )
 
     # seed pseudo-events: replay each open version's full state at its
     # original ordinal, so batch-local carry-forward starts from it
@@ -158,4 +225,30 @@ def apply_scd2_batch(
         )
         .alias("cols_set"),
     )
-    return history.merge(spark, upd, batch_id=batch_id)
+    smry = history.merge(spark, upd, batch_id=batch_id)
+    if open_table is not None:
+        # maintain the open store in the same batch: every touched key's
+        # last surviving version re-opens it (I/U) or, when its last event
+        # was a delete, drops it. One row per key by construction (at most
+        # one is_current version per key; the anti-join is disjoint).
+        # Same batch_id write-audit => crash-between-merges replays clean.
+        osch = open_table.schema()
+        all_cols = list(payload_cols) + ["valid_from"]
+        opens = hist_out.where(F.col("is_current"))
+        up_rows = opens.select(
+            *[F.col(k).cast(osch[k].dataType).alias(k) for k in kc],
+            *[F.col(c).cast(osch[c].dataType).alias(c) for c in all_cols],
+            F.lit("U").alias("op"),
+            F.array(*[F.lit(c) for c in all_cols]).alias("cols_set"),
+        )
+        del_rows = keys.join(opens.select(*kc), kc, "left_anti").select(
+            *[F.col(k).cast(osch[k].dataType).alias(k) for k in kc],
+            *[F.lit(None).cast(osch[c].dataType).alias(c) for c in all_cols],
+            F.lit("D").alias("op"),
+            F.lit(None).cast("array<string>").alias("cols_set"),
+        )
+        smry["open_store"] = open_table.merge(
+            spark, up_rows.unionByName(del_rows),
+            batch_id=batch_id, touched=touched,
+        )
+    return smry

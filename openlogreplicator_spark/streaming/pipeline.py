@@ -53,6 +53,7 @@ class CDCStreamPipeline:
         use_pandas_assembly: bool | None = None,
         change_stream_dir: str | None = None,
         history_table: "LakeTable | None" = None,
+        history_open_table: "LakeTable | None" = None,
         conversations_table: "LakeTable | None" = None,
         sig_index_table: "LakeTable | None" = None,
     ):
@@ -80,6 +81,11 @@ class CDCStreamPipeline:
         # target. Single-table pipelines only; a multi-table deployment
         # passes one history table per routed target.
         self.history_table = history_table
+        # optional open-version store for the SCD2 side-output
+        # (plans/scd2_apply.py bootstrap_scd2_open_target): keeps the
+        # per-batch seed read O(live keys in touched buckets) instead of a
+        # full is_current scan of ever-growing history
+        self.history_open_table = history_open_table
         # optional materialized view: conversations re-rolled per batch from
         # the post-merge primary state (plans/rollup_apply.py)
         self.conversations_table = conversations_table
@@ -204,6 +210,7 @@ class CDCStreamPipeline:
                     spark, committed, self.history_table, self.cfg,
                     batch_id, payload_cols=payload,
                     key_cols=tuple(self.cfg.key_cols),
+                    open_table=self.history_open_table,
                 ))
             if self.change_stream_dir is not None:
                 from openlogreplicator_spark.sinks import (

@@ -43,7 +43,7 @@ def _assembled_with_state(spark, seed):
     feed = generate_change_events(spark, n_txs=200, n_convs=25, seed=seed)
     surv = assemble_transactions_sql(feed, CFG)
     return surv.select(
-        "conv_id", "turn_idx", "op", "scn", "seq", "commit_scn",
+        "conv_id", "turn_idx", "op", "scn", "seq", "xid", "commit_scn",
         F.struct(*[F.col("after").getField(c).alias(c) for c in PAYLOAD])
         .alias("after"),
         "cols_set",
@@ -120,6 +120,121 @@ def test_retry_batch_is_skipped(spark, tmp_path):
     pd.testing.assert_frame_equal(_norm(hist.read(spark)), before)
 
 
+def test_open_store_batch_split_equals_one_shot(spark, tmp_path):
+    """Round-4 open-version store: same batch-split equivalence as the
+    legacy path, with the seed read served from the bucketed open store
+    (O(live keys in touched buckets)) instead of a full history scan; the
+    store itself always equals history's is_current slice."""
+    from openlogreplicator_spark.plans.scd2_apply import (
+        bootstrap_scd2_open_target,
+    )
+
+    surv = _assembled_with_state(spark, seed=41).localCheckpoint()
+    want = _norm(scd2_history(surv, ["conv_id", "turn_idx"], list(PAYLOAD)))
+
+    qs = surv.approxQuantile("commit_scn", [0.33, 0.66], 0.0)
+    cuts = [int(q) for q in qs]
+    parts = [
+        surv.where(F.col("commit_scn") <= cuts[0]),
+        surv.where((F.col("commit_scn") > cuts[0])
+                   & (F.col("commit_scn") <= cuts[1])),
+        surv.where(F.col("commit_scn") > cuts[1]),
+    ]
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    for i, b in enumerate(parts, start=1):
+        s = apply_scd2_batch(spark, b, hist, CFG, batch_id=i,
+                             open_table=open_t)
+        assert not s.get("skipped") and not s["open_store"].get("skipped")
+
+    pd.testing.assert_frame_equal(_norm(hist.read(spark)), want)
+    # the open store is exactly history's is_current slice
+    got_open = (open_t.read(spark).toPandas()
+                .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want_open = (hist.read(spark).where("is_current")
+                 .select("conv_id", "turn_idx", "role", "text", "ts",
+                         "valid_from")
+                 .toPandas().sort_values(["conv_id", "turn_idx"])
+                 .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_open, want_open, check_dtype=False)
+
+    # idempotent retry: replaying a batch id is skipped on BOTH tables
+    s = apply_scd2_batch(spark, parts[-1], hist, CFG, batch_id=3,
+                         open_table=open_t)
+    assert s.get("skipped") and s["open_store"].get("skipped")
+    pd.testing.assert_frame_equal(_norm(hist.read(spark)), want)
+
+
+ASSEMBLED_SCHEMA = (
+    "conv_id string, turn_idx long, op string, scn long, seq long,"
+    " xid string, commit_scn long,"
+    " after struct<role:string,text:string,ts:timestamp>,"
+    " cols_set array<string>"
+)
+
+# adjacent transactions whose event scns differ by >> 2^22 (the round-3
+# packing commit_scn*2^22+scn INVERTED these), plus one transaction whose
+# unnested MI packs TWO versions of the same key (shared scn, seq 0/1)
+_BIG_SCN_ROWS = [
+    ("c1", 1, "I", 99_999_999, 0, "a", 100_000_000,
+     ("user", "A1", None), ["role", "text"]),
+    ("c1", 1, "U", 50_000_000, 0, "b", 100_000_001,
+     (None, "B1", None), ["text"]),
+    ("c1", 1, "U", 60_000_000, 0, "c", 100_000_002,
+     (None, "C1", None), ["text"]),
+    ("c1", 1, "U", 60_000_000, 1, "c", 100_000_002,
+     (None, "C2", None), ["text"]),
+    # a second key in tx c so the rank window really mixes keys
+    ("c2", 7, "I", 60_000_000, 2, "c", 100_000_002,
+     ("user", "X1", None), ["role", "text"]),
+]
+
+
+def test_ordinal_large_scn_spread_and_multirow_packing(spark, tmp_path):
+    """Round-4 pin of verdict item 1: the default ordinal keeps commit
+    order when event scns exceed 2^22 spread, and distinguishes two
+    unnested versions of one key inside one transaction."""
+    ev = spark.createDataFrame(_BIG_SCN_ROWS, ASSEMBLED_SCHEMA)
+    hist = scd2_history(ev, ["conv_id", "turn_idx"], list(PAYLOAD))
+    rows = (hist.where("conv_id = 'c1'")
+            .orderBy("valid_from").collect())
+    assert [r["text"] for r in rows] == ["A1", "B1", "C1", "C2"]
+    # strictly increasing, commit-major ordinals; C1/C2 differ by rank only
+    vf = [r["valid_from"] for r in rows]
+    assert vf == sorted(vf) and len(set(vf)) == 4
+    assert vf[3] - vf[2] == 1  # same tx, adjacent ranks
+    assert rows[-1]["is_current"] and not rows[0]["is_current"]
+    # chained ranges: each version closes exactly at the next's start
+    assert [r["valid_to"] for r in rows[:-1]] == vf[1:]
+
+    # incremental apply across a batch split equals the one-shot result
+    want = _norm(hist)
+    h = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    b1 = ev.where(F.col("commit_scn") <= 100_000_001)
+    b2 = ev.where(F.col("commit_scn") > 100_000_001)
+    apply_scd2_batch(spark, b1, h, CFG, batch_id=1)
+    apply_scd2_batch(spark, b2, h, CFG, batch_id=2)
+    pd.testing.assert_frame_equal(_norm(h.read(spark)), want)
+
+
+def test_ordinal_overflow_guard_raises(spark):
+    """The packing is GUARDED: a transaction larger than 2^rank_bits ops,
+    or a commit_scn beyond 2^(63-rank_bits), fails loudly instead of
+    silently reordering history."""
+    from openlogreplicator_spark.operators.scd2 import packed_version_ord
+
+    ev = spark.createDataFrame(_BIG_SCN_ROWS, ASSEMBLED_SCHEMA)
+    # rank overflow: tx 'c' has 3 ops > 2^1
+    with pytest.raises(Exception, match="scd2 ordinal overflow"):
+        ev.withColumn("o", packed_version_ord(rank_bits=1)).collect()
+    # commit_scn overflow at the default width
+    big = ev.withColumn("commit_scn", F.col("commit_scn") + F.lit(1 << 43))
+    with pytest.raises(Exception, match="scd2 ordinal overflow"):
+        big.withColumn("o", packed_version_ord()).collect()
+    # in-range data is untouched by the guard
+    assert ev.withColumn("o", packed_version_ord()).count() == len(_BIG_SCN_ROWS)
+
+
 def test_streaming_history_side_output(spark, tmp_path):
     """Pipeline with history_table: after streaming the feed in single-file
     microbatches, the history table equals one-shot scd2_history over the
@@ -149,17 +264,23 @@ def test_streaming_history_side_output(spark, tmp_path):
         shutil.rmtree(tmp)
         time.sleep(0.05)
 
+    from openlogreplicator_spark.plans.scd2_apply import (
+        bootstrap_scd2_open_target,
+    )
+
     table = bootstrap_target(str(tmp_path / "t"), cfg)
     hist = bootstrap_scd2_target(str(tmp_path / "hist"), cfg)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), cfg)
     pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"),
-                             history_table=hist)
+                             history_table=hist,
+                             history_open_table=open_t)
     q = pipe.run_stream(spark, feed_dir, str(tmp_path / "ckpt"),
                         available_now=True)
     q.awaitTermination(180)
     pipe.detach_metrics()
 
     surv = assemble_transactions_sql(feed, cfg).select(
-        "conv_id", "turn_idx", "op", "scn", "seq", "commit_scn",
+        "conv_id", "turn_idx", "op", "scn", "seq", "xid", "commit_scn",
         F.struct(*[F.col("after").getField(c).alias(c) for c in PAYLOAD])
         .alias("after"),
         "cols_set",
@@ -170,3 +291,9 @@ def test_streaming_history_side_output(spark, tmp_path):
     # and the open versions agree with the primary target's final state
     cur = hist.read(spark).where("is_current").count()
     assert cur == table.read(spark).count()
+    # the streamed open store tracks history's is_current slice exactly
+    assert open_t.read(spark).count() == cur
+    diff = (open_t.read(spark).select("conv_id", "turn_idx", "valid_from")
+            .exceptAll(hist.read(spark).where("is_current")
+                       .select("conv_id", "turn_idx", "valid_from")))
+    assert diff.count() == 0
