@@ -28,8 +28,12 @@ CORE_JVM = {"UTF-8", "US-ASCII", "ISO-8859-1", "UTF-16", "UTF-16BE",
             "UTF-16LE", "UTF-32"}
 
 # Oracle charset name -> canonical decoder name (Python codec + JVM where
-# core). The sets mirror the reference's CharacterSet*.cpp inventory;
-# ZHT32EUC (EUC-TW) has no stdlib codec and is rejected explicitly.
+# core). The sets mirror the reference's CharacterSet*.cpp inventory.
+# Reference sets with NO stdlib codec stay refused-at-plan-time rather
+# than approximated: ZHT32EUC / ZHT32TRIS (EUC-TW, CharacterSetZHT32EUC/
+# TRIS.cpp), KO16KSCCS (Johab-era KSC, CharacterSetKO16KSCCS.cpp) — a
+# deployment needing them plugs a codec into Python's codecs registry and
+# resolve_charset picks it up by name.
 ORACLE_TO_CHARSET: dict[str, str] = {
     "AL32UTF8": "UTF-8",
     "UTF8": "UTF-8",           # CESU-8 in Oracle; UTF-8 for BMP payloads
@@ -55,7 +59,10 @@ ORACLE_TO_CHARSET: dict[str, str] = {
     "JA16EUC": "EUC-JP",
     "KO16MSWIN949": "cp949",
     "ZHS16GBK": "GBK",
+    "ZHS32GB18030": "gb18030",     # CharacterSetZHS32GB18030.cpp
     "ZHT16MSWIN950": "Big5",
+    "ZHT16HKSCS31": "big5hkscs",   # CharacterSetZHT16HKSCS31.cpp
+    "ZHT16HKSCS": "big5hkscs",     # pre-3.1 HKSCS table, same stdlib codec
     "TH8TISASCII": "tis-620",
 }
 

@@ -69,8 +69,14 @@ def change_stream_ops(
 ) -> DataFrame:
     """Per-op messages ("message":0 mode) — map-only, no shuffle.
 
-    Output: (scn, commit_scn, xid, value) where ``value`` is the JSON text.
+    Output: (scn, commit_scn, xid, <key cols...>, value) where ``value``
+    is the JSON text. The merge-key COLUMNS ride alongside the serialized
+    message so downstream keyed sinks (sinks/kafka.py) partition on them
+    directly — re-parsing the key out of the rendered JSON per record
+    (round-3 kafka_records) both cost a JSON-path eval per row and forced
+    a fresh hash exchange on a derived string.
     """
+    kc = [k for k in (key_cols or cfg.key_cols) if k in assembled.columns]
     entry = _entry(assembled, cfg, owner, key_cols)
     msg = F.struct(
         F.col("commit_scn").alias("scn"),
@@ -79,7 +85,7 @@ def change_stream_ops(
         entry.alias("payload"),
     )
     return assembled.select(
-        "scn", "commit_scn", "xid",
+        "scn", "commit_scn", "xid", *kc,
         F.to_json(msg, {"ignoreNullFields": "true"}).alias("value"),
     )
 

@@ -26,10 +26,14 @@ takes a producer factory; the real deployment passes
 ``lambda: KafkaProducer(bootstrap_servers=..., enable_idempotence=True)``
 and everything else is unchanged.
 
-Scale: keying + sequence numbering is one window per key over the
-already-grouped change stream (per-op mode: no extra shuffle beyond the
-net-change groupBy upstream); ``produce`` runs foreachPartition — one
-producer per task, the standard Spark->Kafka shape.
+Scale: keying + sequence numbering is one window per key over the change
+stream — in per-op mode the window partitions on the MERGE-KEY COLUMNS
+that change_stream_ops carries alongside the message (round 4; previously
+the key was JSON-path-parsed back out of the rendered message, paying a
+per-record eval and a hash exchange on a derived string — when the
+upstream stage is already hash-partitioned on the same columns, Catalyst
+can now reuse that exchange outright). ``produce`` runs foreachPartition —
+one producer per task, the standard Spark->Kafka shape.
 """
 
 from __future__ import annotations
@@ -42,15 +46,19 @@ from openlogreplicator_spark.config import EngineConfig
 def kafka_records(
     messages: DataFrame, cfg: EngineConfig, batch_id: int,
     per_tx: bool = False,
+    key_cols: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Change-stream messages -> Kafka record contract.
 
-    Input: output of change_stream_ops (per-op; has scn, commit_scn, xid,
-    value + the key columns upstream of serialization are inside value) or
-    change_stream_messages (per-tx; commit_scn, xid, n_ops, value).
+    Input: output of change_stream_ops (per-op; scn, commit_scn, xid, the
+    merge-key COLUMNS, value) or change_stream_messages (per-tx;
+    commit_scn, xid, n_ops, value).
 
     Output columns:
-      key       partition-routing key: merge key (per-op) or xid (per-tx)
+      key       partition-routing key: merge key rendered as compact JSON
+                (per-op — byte-identical to the message's payload.key, so
+                the contract is still checkable from the message alone)
+                or xid (per-tx)
       value     the JSON message
       dedup_id  deterministic idempotence id (batch_id:key:seq_in_key)
       ord       per-key send order (commit_scn, scn) — producers must send
@@ -58,14 +66,19 @@ def kafka_records(
     """
     if per_tx:
         key = F.col("xid")
-        order = [F.col("commit_scn").asc()]
+        w = Window.partitionBy(key).orderBy(F.col("commit_scn").asc())
     else:
-        # per-op messages carry the merge key in the payload; re-derive the
-        # routing key from the serialized value's key struct so the record
-        # contract depends only on the message itself
-        key = F.get_json_object("value", "$.payload.key")
-        order = [F.col("commit_scn").asc(), F.col("scn").asc()]
-    w = Window.partitionBy(key).orderBy(*order)
+        kc = [k for k in (key_cols or cfg.key_cols) if k in messages.columns]
+        if not kc:
+            raise ValueError(
+                "per-op kafka_records needs the merge-key columns on the "
+                "message frame (change_stream_ops passes them through); "
+                f"none of {key_cols or cfg.key_cols} present")
+        # partition the window by the RAW columns (hash-exchange reusable);
+        # render the routing string from the same struct the payload carries
+        key = F.to_json(F.struct(*[F.col(k) for k in kc]))
+        w = Window.partitionBy(*kc).orderBy(
+            F.col("commit_scn").asc(), F.col("scn").asc())
     seq = F.row_number().over(w)
     return messages.select(
         key.alias("key"),

@@ -96,28 +96,35 @@ _STATE_SCHEMA_SLIM = (
 DML = ("I", "U", "D", "MI", "MD")
 
 
-def _emit(rows: list[list], commit_scn: int, xid: str,
+def _emit(chunks: list[tuple], commit_scn: int, xid: str,
           slim: bool = False) -> pd.DataFrame:
     """Vectorized survivor selection over one terminated transaction's
-    buffer (ordered rows: [scn, seq, op, conv, turn(, payload)])."""
-    op = np.array([r[2] for r in rows])
+    buffer. ``chunks`` is a list of column-array tuples (scn, seq, op,
+    conv, turn[, payload]) — each internally (scn, seq)-sorted; the
+    concatenation is lexsorted once here."""
+    cols = [np.concatenate([c[i] for c in chunks])
+            for i in range(len(chunks[0]))]
+    order = np.lexsort((cols[1], cols[0]))  # by (scn, seq)
+    cols = [c[order] for c in cols]
+    op = cols[2]
     is_dml = np.isin(op, DML)
     delta = np.where(op == "PR", -1, np.where(is_dml, 1, 0))
     running = np.cumsum(delta)
     suffix_min = np.minimum.accumulate(running[::-1])[::-1]
     keep = is_dml & (suffix_min >= running)
-    kept = [r for r, k in zip(rows, keep) if k]
+    cols = [c[keep] for c in cols]
+    n = len(cols[0])
     out = {
-        "xid": [xid] * len(kept),
-        "scn": pd.array([r[0] for r in kept], dtype="int64"),
-        "seq": pd.array([r[1] for r in kept], dtype="int64"),
-        "op": [r[2] for r in kept],
-        "conv_id": [r[3] for r in kept],
-        "turn_idx": pd.array([r[4] for r in kept], dtype="Int64"),
+        "xid": np.full(n, xid, dtype=object),
+        "scn": cols[0],
+        "seq": cols[1],
+        "op": cols[2],
+        "conv_id": cols[3],
+        "turn_idx": pd.array(cols[4], dtype="Int64"),
     }
     if not slim:
-        out["payload"] = [r[5] for r in kept]
-    out["commit_scn"] = pd.array([commit_scn] * len(kept), dtype="int64")
+        out["payload"] = cols[5]
+    out["commit_scn"] = np.full(n, commit_scn, dtype=np.int64)
     return pd.DataFrame(out)
 
 
@@ -127,10 +134,17 @@ def make_assembler(cfg: EngineConfig, slim: bool = False):
 
     def assemble(key, pdfs, state: GroupState):
         xid = key[0]
+        # buffer = list of column-array CHUNKS (appended per batch span,
+        # concatenated + lexsorted only at emit/save) — the round-3 form
+        # walked every buffered event in a per-row Python loop per batch
         if state.exists:
             cols = state.get
             has_begin = cols[-1]
-            buf = [list(r) for r in zip(*cols[:-1])]
+            buf = [(
+                np.asarray(cols[0], dtype=np.int64),
+                np.asarray(cols[1], dtype=np.int64),
+                *(np.asarray(c, dtype=object) for c in cols[2:width]),
+            )] if len(cols[0]) else []
         else:
             buf, has_begin = [], False
 
@@ -139,34 +153,67 @@ def make_assembler(cfg: EngineConfig, slim: bool = False):
         if parts:
             new = pd.concat(parts, ignore_index=True)
             new = new.sort_values(["scn", "seq"], kind="mergesort")
-            # process terminators IN ORDER: an R mid-batch must discard the
-            # buffer before a later B/DML/C of a reused xid builds the next
-            # transaction (honoring only the last terminator would resurrect
-            # rolled-back DML and drop post-terminator events)
-            for r in new.itertuples(index=False):
-                if r.op == "B":
+            ops = new["op"].to_numpy(dtype=object)
+            # turn_idx arrives float64 when the batch carries MI/MD rows
+            # (their turn is NULL) — normalize to int objects/None so the
+            # state round-trip through `turns array<long>` stays lossless
+            tv = new["turn_idx"].to_numpy()
+            tmask = pd.notna(tv)
+            tobj = np.empty(len(tv), dtype=object)
+            tobj[~tmask] = None
+            if tmask.any():
+                tobj[tmask] = tv[tmask].astype(np.int64)
+            arrs = [
+                new["scn"].to_numpy(dtype=np.int64),
+                new["seq"].to_numpy(dtype=np.int64),
+                ops,
+                new["conv_id"].to_numpy(dtype=object),
+                tobj,
+            ]
+            if not slim:
+                arrs.append(new["payload"].to_numpy(dtype=object))
+            # terminators must be honored IN ORDER: an R mid-batch discards
+            # the buffer before a later B/DML/C of a reused xid builds the
+            # next transaction. Vectorized: drop rows that are neither
+            # terminators nor buffered ops (preserves relative order), then
+            # segment at terminator positions — DML/PR spans append as
+            # whole column slices, Python touches only the terminators.
+            is_term = (ops == "B") | (ops == "R") | (ops == "C")
+            wanted = is_term | np.isin(ops, DML) | (ops == "PR")
+            if not wanted.all():
+                sel = np.flatnonzero(wanted)
+                arrs = [a[sel] for a in arrs]
+                ops = arrs[2]
+                is_term = (ops == "B") | (ops == "R") | (ops == "C")
+            start = 0
+            for ti in np.flatnonzero(is_term):
+                ti = int(ti)
+                if ti > start:
+                    buf.append(tuple(a[start:ti] for a in arrs))
+                o = ops[ti]
+                if o == "B":
                     has_begin = True
-                elif r.op == "R":
+                elif o == "R":
                     buf, has_begin = [], False
-                elif r.op == "C":
+                else:  # C
                     if (has_begin or not require_begin) and buf:
-                        yield _emit(sorted(buf), int(r.scn), xid, slim=slim)
+                        yield _emit(buf, int(arrs[0][ti]), xid, slim=slim)
                         emitted = True
                     buf, has_begin = [], False
-                elif r.op in DML or r.op == "PR":
-                    row = [
-                        int(r.scn), int(r.seq), r.op, r.conv_id,
-                        None if pd.isna(r.turn_idx) else int(r.turn_idx),
-                    ]
-                    if not slim:
-                        row.append(r.payload)
-                    buf.append(row)
+                start = ti + 1
+            if start < len(ops):
+                buf.append(tuple(a[start:] for a in arrs))
 
         if buf or has_begin:
-            b = sorted(buf)
-            state.update(tuple(
-                [r[i] for r in b] for i in range(width)
-            ) + (has_begin,))
+            cat = [np.concatenate([c[i] for c in buf])
+                   for i in range(width)] if buf else \
+                  [np.array([], dtype=np.int64)] * 2 + \
+                  [np.array([], dtype=object)] * (width - 2)
+            order = np.lexsort((cat[1], cat[0]))
+            # .tolist() converts numpy scalars to plain python for the
+            # state row; runs only on the UNTERMINATED remainder
+            state.update(tuple(c[order].tolist() for c in cat)
+                         + (has_begin,))
         elif state.exists:
             state.remove()
         if not emitted:
@@ -200,6 +247,23 @@ def streaming_assembly_slim(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+# cached slim frames awaiting release: rejoin_payload is called once per
+# microbatch from foreachBatch; each call drains the previous call's cache
+# so accumulation is bounded at ONE batch's (keys-only, small) cache even
+# if the caller never releases explicitly
+_REJOIN_CACHED: list = []
+
+
+def release_rejoin_cache() -> None:
+    """Unpersist any slim frames cached by ``rejoin_payload`` calls whose
+    results have been consumed (see _REJOIN_CACHED note)."""
+    while _REJOIN_CACHED:
+        try:
+            _REJOIN_CACHED.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
 def rejoin_payload(spark, slim_committed: DataFrame, feed_dir: str,
                    bounds: "tuple[int, int] | None" = None) -> DataFrame:
     """Recover payloads for a batch of slim committed rows: read the feed
@@ -212,11 +276,16 @@ def rejoin_payload(spark, slim_committed: DataFrame, feed_dir: str,
     in its lineage, so passing them keeps this a SINGLE traversal of the
     slim plan. Without bounds, the slim side is persisted for the
     duration of the call (it is keys-only, so the cache is small) so the
-    min/max pre-pass does not recompute the upstream plan twice."""
+    min/max pre-pass does not recompute the upstream plan twice; the
+    cached handle is tracked and drained on the NEXT call (or via
+    ``release_rejoin_cache``), so per-microbatch use from foreachBatch
+    never accumulates cached partitions across batches (round-3 ADVICE)."""
     from openlogreplicator_spark.operators.decode import unnest_multirow
 
+    release_rejoin_cache()
     if bounds is None:
         slim_committed = slim_committed.persist()
+        _REJOIN_CACHED.append(slim_committed)
         lohi = slim_committed.agg(
             F.min("scn").alias("lo"), F.max("scn").alias("hi")).first()
         bounds = (lohi["lo"], lohi["hi"])

@@ -255,6 +255,21 @@ class CDCStreamPipeline:
                         else [self.table]):
                 summaries.append(tbl.compact(
                     spark, summary={"trigger_batch": int(batch_id)}))
+        else:
+            # delete-pressure trigger (round 4): between cadence points,
+            # fold any MoR bucket whose stacked delete rows crossed the
+            # table's thresholds — manifest-only check, no data I/O when
+            # nothing qualifies
+            for tbl in (self.tables.values() if self.tables is not None
+                        else [self.table]):
+                if tbl.write_mode != "mor":
+                    continue
+                cands = tbl.compaction_candidates()
+                if cands:
+                    summaries.append(tbl.compact(
+                        spark, buckets=cands,
+                        summary={"trigger_batch": int(batch_id),
+                                 "trigger": "delete-pressure"}))
 
         self._write_lineage(spark, batch_id, part_stats, summaries,
                             wall_ms=int((time.time() - t0) * 1000))

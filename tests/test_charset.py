@@ -41,6 +41,32 @@ def test_decode_8bit_and_utf16(spark):
     assert got[4] == "日本語テキスト"
 
 
+def test_name_resolution_cjk_round4():
+    """Round-4 additions: GB18030 + HKSCS map to stdlib codecs; the
+    reference sets with no stdlib codec stay refused."""
+    assert resolve_charset("ZHS32GB18030") == "gb18030"
+    assert resolve_charset("zht16hkscs31") == "big5hkscs"
+    assert resolve_charset("ZHT16HKSCS") == "big5hkscs"
+    for refused in ("KO16KSCCS", "ZHT32EUC", "ZHT32TRIS"):
+        with pytest.raises(ValueError):
+            resolve_charset(refused)
+
+
+def test_decode_gb18030_and_hkscs_roundtrip(spark):
+    """GB18030 4-byte sequences (chars beyond GBK) and an HKSCS extension
+    char survive decode + transcode to UTF-8."""
+    s_gb = "汉字𠀋ẞ€"        # 𠀋 needs a GB18030 4-byte sequence
+    s_hk = "香港字：嘅咗𥄫"  # 嘅/咗/𥄫 are HKSCS-only (not plain Big5)
+    df = spark.createDataFrame(
+        [(s_gb.encode("gb18030"), s_hk.encode("big5hkscs"))],
+        "g binary, h binary",
+    )
+    out = transcode_columns(
+        df, {"g": "ZHS32GB18030", "h": "ZHT16HKSCS31"}).first()
+    assert out["g"] == s_gb
+    assert out["h"] == s_hk
+
+
 def test_transcode_roundtrip_to_utf8(spark):
     src = "ÄÖÜ äöü ß €".encode("windows-1252")
     df = spark.createDataFrame([(src,)], "b binary")

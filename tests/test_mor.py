@@ -281,6 +281,104 @@ def test_streaming_mor_with_compaction_cadence(spark, tmp_path):
     )
 
 
+def test_mor_delete_broadcast_threshold_bytes_based(spark, tmp_path):
+    """Round 4: the resolve-join strategy is decided from manifest BYTE
+    stats via the mor.delete.broadcast-bytes property — a delete set over
+    budget falls back to the shuffled join with identical results."""
+    cow, mor = _mk_pair(spark, tmp_path)
+    for i, rows in enumerate([BATCH1, BATCH2, BATCH3], start=1):
+        _merge_both(spark, cow, mor, rows, i)
+    want = _state(spark, cow)
+
+    # default budget: delete relation broadcast (hint in the plan)
+    plan_b = mor.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_b.lower()
+
+    # 1-byte budget: no broadcast hint, same rows either way
+    mor.set_property("mor.delete.broadcast-bytes", 1)
+    plan_s = mor.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan_s.lower()
+    pd.testing.assert_frame_equal(_state(spark, mor), want,
+                                  check_dtype=False)
+    # manifest entries carry the byte stats the decision reads
+    dels = [f for f in mor.manifest()["files"] if f.get("content") == "eq-del"]
+    assert dels and all(int(f.get("bytes", 0)) > 0 for f in dels)
+
+
+def test_compaction_candidates_delete_pressure(spark, tmp_path):
+    """compaction_candidates flags buckets by delete pressure (rows or
+    ratio thresholds); compacting exactly those buckets clears them."""
+    _, mor = _mk_pair(spark, tmp_path)
+    mor.merge(spark, spark.createDataFrame(BATCH1, UPD_SCHEMA), batch_id=1)
+    assert mor.compaction_candidates() == []  # first batch: no deletes
+    # delete 30/40 keys: ratio >> 0.5 in every touched bucket
+    dels = [(k, None, None, "D", None) for k in range(30)]
+    mor.merge(spark, spark.createDataFrame(dels, UPD_SCHEMA), batch_id=2)
+    cands = mor.compaction_candidates()
+    assert cands, "heavy delete pressure must flag buckets"
+    # a loose ratio + huge row floor flags nothing
+    assert mor.compaction_candidates(min_delete_ratio=100.0,
+                                     min_delete_rows=10**9) == []
+    before = _state(spark, mor)
+    mor.compact(spark, buckets=cands)
+    assert mor.compaction_candidates() == []
+    pd.testing.assert_frame_equal(_state(spark, mor), before,
+                                  check_dtype=False)
+
+
+def test_streaming_delete_pressure_compaction(spark, tmp_path):
+    """The pipeline folds delete-heavy MoR buckets between compact_every
+    cadence points (trigger='delete-pressure' in a snapshot summary)."""
+    import os
+
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.feed import generate_change_events
+    from openlogreplicator_spark.plans.replay import bootstrap_target
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    import glob
+    import shutil
+
+    from openlogreplicator_spark.feed import pandas_to_events_df
+
+    cfg = EngineConfig(num_buckets=4, maxFilesPerTrigger=1,
+                       merge_mode="mor", compact_every=None)
+    events = generate_change_events(spark, n_txs=120, n_convs=12, seed=61)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    # contiguous scn slices per file — the feed contract the producer keeps
+    pdf = events.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    n = len(pdf)
+    for i in range(3):
+        sdf = pandas_to_events_df(spark, pdf.iloc[(n * i) // 3:
+                                                  (n * (i + 1)) // 3])
+        tmp = str(tmp_path / f"_stage{i}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    os.path.join(feed_dir, f"seq{i:04d}.parquet"))
+        shutil.rmtree(tmp)
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    # tiny thresholds so the pressure trigger fires at sandbox scale
+    table.set_property("mor.compact.min-delete-rows", 1)
+    table.set_property("mor.compact.min-delete-ratio", 0.0)
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"))
+    q = pipe.run_stream(spark, feed_dir, str(tmp_path / "ckpt"),
+                        available_now=True)
+    q.awaitTermination(180)
+    pipe.detach_metrics()
+    triggers = [s for s in table.snapshots()
+                if s["summary"].get("trigger") == "delete-pressure"]
+    assert triggers, (
+        "delete-pressure compaction never fired; snapshots: "
+        + repr([(s["version"], s["summary"].get("operation"),
+                 s["summary"].get("trigger"),
+                 s["summary"].get("batch_id")) for s in table.snapshots()])
+    )
+    # nothing left above threshold at the end
+    assert table.compaction_candidates() == []
+
+
 def test_mor_null_key_parity_with_cow(spark, tmp_path):
     """Null merge keys resolve with eqNullSafe in BOTH modes: a null-keyed
     row must not dodge its delete under MoR."""

@@ -346,3 +346,16 @@ def test_slim_assembly_equals_full_including_payload(spark, tmp_path):
     plan = rejoin_payload(spark, slim, feed_dir) \
         ._jdf.queryExecution().toString()
     assert "GreaterThanOrEqual(scn" in plan and "LessThanOrEqual(scn" in plan
+
+    # the boundless form caches the slim side but DRAINS the previous
+    # call's cache — per-microbatch use never accumulates (round-3 ADVICE)
+    from openlogreplicator_spark.streaming import native_state as ns
+
+    assert len(ns._REJOIN_CACHED) == 1  # only the latest call's handle
+    rejoin_payload(spark, slim, feed_dir)
+    assert len(ns._REJOIN_CACHED) == 1
+    ns.release_rejoin_cache()
+    assert not ns._REJOIN_CACHED
+    # bounded form never caches
+    rejoin_payload(spark, slim, feed_dir, bounds=(0, 10))
+    assert not ns._REJOIN_CACHED

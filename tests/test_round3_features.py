@@ -161,6 +161,11 @@ def test_kafka_contract_keying_order_and_idempotent_resend(spark, tmp_path):
     msgs = change_stream_ops(assembled, cfg)
     recs = kafka_records(msgs, cfg, batch_id=7)
 
+    # round 4: the routing key comes from the carried merge-key COLUMNS —
+    # the plan must not re-parse it out of the rendered JSON message
+    plan = recs._jdf.queryExecution().toString()
+    assert "get_json_object" not in plan
+
     spool1 = str(tmp_path / "spool1")
     os.makedirs(spool1)
     produce(recs, _spool_producer_factory(spool1))
