@@ -107,6 +107,22 @@ def main() -> None:
     timings["cdc_replay_e2e"] = round(e2e, 3)
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # same e2e on a merge-on-read table (round-4, verdict item 10): tracks
+    # the MoR resolve-path per round. Single-batch bootstrap writes data
+    # files only; the readback still runs the MoR read plan.
+    tmp_mor = tempfile.mkdtemp(prefix="olr_bench_tblm_")
+    table_mor = LakeTable.create(
+        tmp_mor, entrymod._DERIVED_TARGET, ["conv_id", "turn_idx"],
+        num_buckets=cfg.num_buckets, write_mode="mor",
+    )
+    t0 = time.time()
+    replay_batch(spark, derive_feed(spark, sf_dir), table_mor, cfg,
+                 batch_id=0)
+    rows_mor = table_mor.read(spark).count()
+    timings["cdc_replay_e2e_mor"] = round(time.time() - t0, 3)
+    assert rows_mor == rows
+    shutil.rmtree(tmp_mor, ignore_errors=True)
+
     # ---- operator microbenchmarks (count() forces full execution) ----
     timed("cdc_assembly_sql",
           lambda: assemble_transactions_sql(derive_feed(spark, sf_dir), cfg).count())
@@ -136,7 +152,8 @@ def main() -> None:
     for name in ("cdc_lww_dedup", "agg_pricing_summary", "join_nation_orders",
                  "window_top_orders", "cdc_multirow_unnest", "cdc_scd2",
                  "cdc_conv_rollup", "evt_asof_join", "evt_sessionize",
-                 "sample_stratified", "pack_chunks", "dedup_incremental"):
+                 "sample_stratified", "pack_chunks", "dedup_incremental",
+                 "cdc_protobuf_stream"):
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 

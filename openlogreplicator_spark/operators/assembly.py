@@ -56,7 +56,15 @@ def _flags(events: DataFrame, require_begin: bool):
     committed = commit_scn.isNotNull() & ~rolled
     if require_begin:
         committed = committed & has_begin
-    return commit_scn, committed
+    # the commit event's timestamp — the transaction time the reference's
+    # message header renders as tm/tms (OutputBufferJson.cpp:186-210);
+    # same window as commit_scn, so it is free
+    commit_ts = (
+        F.max(F.when(F.col("op") == "C", F.col("ts"))).over(w)
+        if "ts" in events.columns
+        else F.lit(None).cast("timestamp")
+    )
+    return commit_scn, committed, commit_ts
 
 
 def assemble_transactions_sql(
@@ -81,7 +89,7 @@ def assemble_transactions_sql(
     exactly the regime where the pandas slim path's broadcast re-join
     stops being available. Results are identical either way.
     """
-    commit_scn, committed = _flags(events, cfg.require_begin)
+    commit_scn, committed, commit_ts = _flags(events, cfg.require_begin)
     w_tx = Window.partitionBy("xid")
     terminated = (
         F.max(F.when(F.col("op").isin("C", "R"), 1).otherwise(0)).over(w_tx) == 1
@@ -101,11 +109,15 @@ def assemble_transactions_sql(
     )
     survives = F.col("op").isin(*DML) & (suffix_min >= running)
 
-    base = (events.select("xid", "scn", "seq", "op") if slim_join
-            else events)
+    # slim base keeps ts (8 B/row) so the commit_ts window resolves
+    base = (events.select(
+        "xid", "scn", "seq", "op",
+        *(["ts"] if "ts" in events.columns else [])) if slim_join
+        else events)
     ann = base.select(
         "*",
         commit_scn.alias("commit_scn"),
+        commit_ts.alias("commit_ts"),
         committed.alias("_committed"),
         terminated.alias("_terminated"),
         survives.alias("_survives"),
@@ -113,9 +125,9 @@ def assemble_transactions_sql(
     if slim_join:
         verdict = ann.where(
             F.col("_committed") & F.col("_survives")
-        ).select("xid", "scn", "seq", "commit_scn")
+        ).select("xid", "scn", "seq", "commit_scn", "commit_ts")
         out = (events.join(verdict, ["xid", "scn", "seq"], "inner")
-               .select(*events.columns, "commit_scn"))
+               .select(*events.columns, "commit_scn", "commit_ts"))
         if not emit_open:
             return out
         open_keys = ann.where(~F.col("_terminated")).select(
@@ -130,7 +142,7 @@ def assemble_transactions_sql(
     if not emit_open:
         return out
     open_rows = ann.where(~F.col("_terminated")).drop(
-        "_committed", "_terminated", "_survives", "commit_scn"
+        "_committed", "_terminated", "_survives", "commit_scn", "commit_ts"
     )
     return out, open_rows
 
@@ -175,7 +187,17 @@ def assemble_transactions_pandas(
 
         is_c = op == "C"
         is_dml = np.isin(op, DML)
+        # commit timestamp (micros since epoch; int64 min = null sentinel)
+        ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")
+                 .to_numpy() if "ts" in pdf.columns
+                 else np.full(n, np.iinfo(np.int64).min))
+        ts_us = np.where(pdf["ts"].notna().to_numpy(), ts_us,
+                         np.iinfo(np.int64).min) if "ts" in pdf.columns \
+            else ts_us
         # per-group reductions via reduceat over contiguous runs
+        commit_ts_g = np.maximum.reduceat(
+            np.where(is_c, ts_us, np.iinfo(np.int64).min), starts
+        ) if n else np.array([])
         commit_g = np.maximum.reduceat(np.where(is_c, scn, -1), starts) if n else np.array([])
         begin_g = np.maximum.reduceat((op == "B").astype(np.int8), starts) if n else np.array([])
         rolled_g = np.maximum.reduceat((op == "R").astype(np.int8), starts) if n else np.array([])
@@ -206,19 +228,26 @@ def assemble_transactions_pandas(
 
         committed_r = committed_g[codes] if n else np.array([], dtype=bool)
         commit_r = commit_g[codes] if n else np.array([])
+        commit_ts_r = commit_ts_g[codes] if n else np.array([])
         term_r = (term_g[codes] == 1) if n else np.array([], dtype=bool)
 
         keep = committed_r & survives
+        kept_ts = commit_ts_r[keep] if n else np.array([])
         res = pd.DataFrame({
             "scn": scn[keep],
             "commit_scn": commit_r[keep].astype("int64"),
+            "commit_ts_us": pd.array(
+                np.where(kept_ts == np.iinfo(np.int64).min, None, kept_ts),
+                dtype="Int64"),
             "is_open": np.zeros(keep.sum(), dtype=bool),
         })
         if emit_open:
+            n_open = int((~term_r).sum())
             openr = pd.DataFrame({
                 "scn": scn[~term_r],
-                "commit_scn": pd.array([None] * int((~term_r).sum()), dtype="Int64"),
-                "is_open": np.ones(int((~term_r).sum()), dtype=bool),
+                "commit_scn": pd.array([None] * n_open, dtype="Int64"),
+                "commit_ts_us": pd.array([None] * n_open, dtype="Int64"),
+                "is_open": np.ones(n_open, dtype=bool),
             })
             res = pd.concat([res, openr], ignore_index=True)
         return res
@@ -230,12 +259,16 @@ def assemble_transactions_pandas(
     # two paths stay equivalent.
     slim = events.where(F.col("xid").isNotNull()).select(
         "xid", "scn", "seq", "op",
+        *(["ts"] if "ts" in events.columns else []),
         F.pmod(F.xxhash64(F.col("xid")), F.lit(num_groups)).alias("_g"),
     )
     v = slim.groupBy("_g").applyInPandas(
-        verdicts, "scn long, commit_scn long, is_open boolean"
+        verdicts,
+        "scn long, commit_scn long, commit_ts_us long, is_open boolean",
     )
-    res = events.join(v, on="scn", how="inner")
+    res = events.join(v, on="scn", how="inner").withColumn(
+        "commit_ts", F.timestamp_micros(F.col("commit_ts_us"))
+    ).drop("commit_ts_us")
     if not emit_open:
         return res.where(~F.col("is_open")).drop("is_open")
     return res

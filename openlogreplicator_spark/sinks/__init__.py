@@ -1,4 +1,6 @@
 from openlogreplicator_spark.sinks.json_stream import (  # noqa: F401
+    JsonFormat,
+    change_stream_brackets,
     change_stream_messages,
     change_stream_ops,
     write_change_stream,

@@ -23,6 +23,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 from openlogreplicator_spark.config import EngineConfig
@@ -30,6 +32,57 @@ from openlogreplicator_spark.config import EngineConfig
 # reference op codes (OutputBufferJson.cpp: 'c' create, 'u' update,
 # 'd' delete — processInsert/processUpdate/processDelete)
 _OP_MAP = {"I": "c", "U": "u", "D": "d"}
+
+
+@dataclass(frozen=True)
+class JsonFormat:
+    """The reference's JSON message-format knobs (types.h:85-116, rendered
+    by OutputBufferJson.cpp appendHeader :186-224):
+
+      * ``scn_format``: bit0 HEX -> header carries ``"scns":"0x%016x"``
+        instead of numeric ``"scn"``; bit1 ALL_PAYLOADS -> every message of
+        a bracketed transaction repeats the scn (default: begin only);
+      * ``timestamp_format``: bit0 ISO8601 -> ``"tms":"..Z"`` instead of
+        unix-millis ``"tm"``; bit1 ALL_PAYLOADS as above. The timestamp is
+        the transaction's COMMIT-event time (``commit_ts`` from assembly;
+        the reference stamps the begin time — same transaction clock,
+        different edge, documented deviation);
+      * ``xid_format``: 0 TEXT ``"xid"`` (the feed's string xid — the
+        reference renders usn.slt.sqn text); 1 NUMERIC ``"xidn"`` (the
+        reference emits the raw 8-byte xid; string xids here map through
+        xxhash64, a stable 64-bit numeric identity).
+
+    ``change_stream_ops``/``change_stream_messages`` without a JsonFormat
+    keep the engine's round-3 shape byte-for-byte (an all-payloads header
+    extended with ``op_scn``); passing one opts into reference-shaped
+    headers."""
+
+    scn_format: int = 0
+    timestamp_format: int = 0
+    xid_format: int = 0
+
+
+def _header_cols(fmt: JsonFormat, have_ts: bool, first: bool) -> list:
+    cols = []
+    if first or (fmt.scn_format & 2):
+        if fmt.scn_format & 1:
+            cols.append(F.concat(
+                F.lit("0x"),
+                F.lpad(F.lower(F.hex(F.col("commit_scn"))), 16, "0"),
+            ).alias("scns"))
+        else:
+            cols.append(F.col("commit_scn").alias("scn"))
+    if have_ts and (first or (fmt.timestamp_format & 2)):
+        if fmt.timestamp_format & 1:
+            cols.append(F.date_format(
+                F.col("commit_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("tms"))
+        else:
+            cols.append(F.unix_millis(F.col("commit_ts")).alias("tm"))
+    if fmt.xid_format == 1:
+        cols.append(F.xxhash64(F.col("xid")).alias("xidn"))
+    else:
+        cols.append(F.col("xid").alias("xid"))
+    return cols
 
 
 def _op_code():
@@ -66,6 +119,7 @@ def _entry(df: DataFrame, cfg: EngineConfig, owner: str,
 def change_stream_ops(
     assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
     key_cols: "tuple[str, ...] | None" = None,
+    fmt: "JsonFormat | None" = None,
 ) -> DataFrame:
     """Per-op messages ("message":0 mode) — map-only, no shuffle.
 
@@ -75,25 +129,83 @@ def change_stream_ops(
     directly — re-parsing the key out of the rendered JSON per record
     (round-3 kafka_records) both cost a JSON-path eval per row and forced
     a fresh hash exchange on a derived string.
+
+    ``fmt``: reference-shaped headers (JsonFormat knobs); None keeps the
+    round-3 shape (scn + op_scn + xid on every message) byte-for-byte.
     """
     kc = [k for k in (key_cols or cfg.key_cols) if k in assembled.columns]
     entry = _entry(assembled, cfg, owner, key_cols)
-    msg = F.struct(
-        F.col("commit_scn").alias("scn"),
-        F.col("scn").alias("op_scn"),
-        F.col("xid").alias("xid"),
-        entry.alias("payload"),
-    )
+    if fmt is None:
+        msg = F.struct(
+            F.col("commit_scn").alias("scn"),
+            F.col("scn").alias("op_scn"),
+            F.col("xid").alias("xid"),
+            entry.alias("payload"),
+        )
+    else:
+        msg = F.struct(
+            *_header_cols(fmt, "commit_ts" in assembled.columns, first=True),
+            entry.alias("payload"),
+        )
     return assembled.select(
         "scn", "commit_scn", "xid", *kc,
         F.to_json(msg, {"ignoreNullFields": "true"}).alias("value"),
     )
 
 
+def change_stream_brackets(
+    assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
+    key_cols: "tuple[str, ...] | None" = None,
+    fmt: "JsonFormat | None" = None,
+) -> DataFrame:
+    """Reference "message":0 SHORT mode, faithfully bracketed: each
+    transaction streams as ``{header(first), payload:[{"op":"begin"}]}``,
+    one message per DML with ``header(first=false)`` (xid only, unless the
+    ALL_PAYLOADS format bits repeat scn/tm — OutputBufferJson.cpp
+    processBegin :488-504 / processInsert :560-575 / processCommit
+    :506-517), then ``{header, payload:[{"op":"commit"}]}``.
+
+    Output: (commit_scn, xid, kind, scn, value) where kind 0/1/2 =
+    begin/op/commit — ordering by (commit_scn, xid, kind, scn, seq) is the
+    exact single-producer emission order. Map-only for the op messages;
+    the begin/commit rows are one distinct over (xid, commit_scn) — the
+    same grouping the per-tx sink pays."""
+    fmt = fmt or JsonFormat()
+    have_ts = "commit_ts" in assembled.columns
+    entry = _entry(assembled, cfg, owner, key_cols)
+    op_msg = F.struct(
+        *_header_cols(fmt, have_ts, first=False),
+        F.array(entry).alias("payload"),  # reference: "payload":[{op...}]
+    )
+    ops = assembled.select(
+        "commit_scn", "xid", F.lit(1).alias("kind"), "scn", "seq",
+        F.to_json(op_msg, {"ignoreNullFields": "true"}).alias("value"),
+    )
+    tx_cols = ["xid", "commit_scn"] + (["commit_ts"] if have_ts else [])
+    txs = assembled.select(*tx_cols).distinct()
+
+    def bracket(op_name: str, kind: int, first: bool):
+        msg = F.struct(
+            *_header_cols(fmt, have_ts, first=first),
+            F.array(F.struct(F.lit(op_name).alias("op"))).alias("payload"),
+        )
+        return txs.select(
+            "commit_scn", "xid", F.lit(kind).alias("kind"),
+            F.lit(None).cast("long").alias("scn"),
+            F.lit(None).cast("long").alias("seq"),
+            F.to_json(msg, {"ignoreNullFields": "true"}).alias("value"),
+        )
+
+    return (bracket("begin", 0, first=True)
+            .unionByName(ops)
+            .unionByName(bracket("commit", 2, first=False)))
+
+
 def change_stream_messages(
     assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
     key_cols: "tuple[str, ...] | None" = None,
     max_ops_per_message: int | None = None,
+    fmt: "JsonFormat | None" = None,
 ) -> DataFrame:
     """Per-transaction messages ("message":1 mode): one JSON document per
     committed transaction, ops in (scn, seq) insertion order
@@ -114,15 +226,22 @@ def change_stream_messages(
     the chunking is an array slice + explode on the already-grouped rows.
     """
     entry = _entry(assembled, cfg, owner, key_cols)
-    per_tx = assembled.groupBy("xid", "commit_scn").agg(
+    have_ts = fmt is not None and "commit_ts" in assembled.columns
+    gb = ["xid", "commit_scn"] + (["commit_ts"] if have_ts else [])
+    per_tx = assembled.groupBy(*gb).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("scn"), F.col("seq"), entry.alias("e")))
         ).alias("ops")
     )
+
+    def header():
+        if fmt is None:
+            return [F.col("commit_scn").alias("scn"), F.col("xid").alias("xid")]
+        return _header_cols(fmt, have_ts, first=True)
+
     if max_ops_per_message is None:
         msg = F.struct(
-            F.col("commit_scn").alias("scn"),
-            F.col("xid").alias("xid"),
+            *header(),
             F.transform(F.col("ops"), lambda o: o["e"]).alias("payload"),
         )
         return per_tx.select(
@@ -134,7 +253,9 @@ def change_stream_messages(
     cap = int(max_ops_per_message)
     n_msgs = F.ceil(F.size("ops") / F.lit(cap)).cast("int")
     chunked = per_tx.select(
-        "xid", "commit_scn", n_msgs.alias("n_msgs"),
+        "xid", "commit_scn",
+        *(["commit_ts"] if have_ts else []),
+        n_msgs.alias("n_msgs"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_msgs - 1),
@@ -143,8 +264,7 @@ def change_stream_messages(
         ).alias("msg_seq", "chunk"),
     )
     msg = F.struct(
-        F.col("commit_scn").alias("scn"),
-        F.col("xid").alias("xid"),
+        *header(),
         F.col("msg_seq").alias("num"),
         F.col("n_msgs").alias("num_total"),
         F.transform(F.col("chunk"), lambda o: o["e"]).alias("payload"),

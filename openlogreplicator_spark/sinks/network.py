@@ -27,6 +27,16 @@ through the driver via ``toLocalIterator``; nothing is collected up
 front). The horizontally-scaled paths are the Kafka contract
 (sinks/kafka.py) and the file/lake sinks; this module exists for protocol
 parity with reference deployments that tail the socket.
+
+Transport descope: the reference also serves this SAME request/response
+protocol over a ZeroMQ REP socket (StreamZeroMQ.cpp, selected by the
+"type": "zeromq" writer config, OpenLogReplicator.cpp:779-794) — the
+message grammar, framing payloads, and confirm semantics are identical;
+only the socket layer differs. This sandbox has no pyzmq, so the ZeroMQ
+transport is a documented descope: a deployment adds it by driving the
+same ``parse_request`` -> ``_session`` dispatch from a ``zmq.REP``
+recv/send loop (the length-prefix framing drops away; ZeroMQ frames
+messages itself).
 """
 
 from __future__ import annotations

@@ -35,7 +35,9 @@ Field numbers (OraProtoBuf.proto):
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -45,6 +47,68 @@ from openlogreplicator_spark.config import EngineConfig
 
 _PAYLOAD_CODE = 5  # ResponseCode.PAYLOAD
 _OP_ENUM = {"BEGIN": 0, "COMMIT": 1, "I": 2, "U": 3, "D": 4, "DDL": 5}
+
+# OraProtoBuf.proto ColumnType enum values, keyed by Spark simpleString
+_SPARK_TO_COLTYPE = {
+    "string": 1,     # VARCHAR2
+    "int": 2,        # NUMBER
+    "bigint": 2,     # NUMBER
+    "smallint": 2,
+    "decimal": 2,
+    "boolean": 2,    # NUMBER(1)
+    "float": 9,      # BINARY_FLOAT
+    "double": 10,    # BINARY_DOUBLE
+    "binary": 5,     # RAW
+    "date": 4,       # DATE
+    "timestamp": 13,  # TIMESTAMP
+}
+
+
+@dataclass(frozen=True)
+class ProtoFormat:
+    """The reference's protobuf header/schema knobs (types.h:85-116 applied
+    by OutputBufferProtobuf.cpp appendHeader :109-144 / appendSchema
+    :146-230):
+
+      * ``scn_format`` bit0 HEX -> ``scns`` (field 3, 16 lowercase hex
+        digits) instead of numeric ``scn`` (field 2);
+      * ``timestamp_format`` bit0 ISO8601 -> ``tms`` (field 5) instead of
+        unix-millis ``tm`` (field 4); the value is the transaction's
+        commit-event time (assembly ``commit_ts``);
+      * ``xid_format`` 1 -> numeric ``xidn`` (field 7, xxhash64 of the
+        string xid — the reference emits the raw 8-byte xid, structured
+        feeds carry opaque strings) instead of text ``xid`` (field 6);
+      * ``schema_format`` bit2 (SCHEMA_FORMAT_OBJ) -> ``Schema.obj``
+        (field 3, a stable CRC32 of owner.table — the reference emits the
+        dictionary object id, which a structured feed does not have);
+        bit0 (SCHEMA_FORMAT_FULL) -> ``Schema.column`` sub-messages
+        (name/type/nullable) on EVERY message (the reference's
+        once-per-object dedupe is a single-producer notion; a parallel
+        sink treats FULL as FULL|REPEATED, documented deviation).
+
+    Default (or passing None to the stream builders) keeps the round-3
+    wire bytes unchanged: numeric scn, text xid, no tm, name-only schema.
+    """
+
+    scn_format: int = 0
+    timestamp_format: int = 0
+    xid_format: int = 0
+    schema_format: int = 0
+
+
+def stable_obj_id(owner: str, table: str) -> int:
+    """Deterministic 32-bit object id for Schema.obj."""
+    return zlib.crc32(f"{owner}.{table}".encode("utf-8"))
+
+
+def schema_columns_for(schema) -> list[tuple]:
+    """(name, ColumnType, nullable) triples for Schema.column from a Spark
+    StructType (the target table's payload schema)."""
+    out = []
+    for f in schema.fields:
+        simple = f.dataType.simpleString().split("(")[0]
+        out.append((f.name, _SPARK_TO_COLTYPE.get(simple, 0), f.nullable))
+    return out
 
 
 def _varint(n: int) -> bytes:
@@ -110,8 +174,19 @@ def _value(name: str, v) -> bytes:
     return out
 
 
-def _schema_msg(owner: str, table: str) -> bytes:
-    return _ld(1, owner.encode("utf-8")) + _ld(2, table.encode("utf-8"))
+def _schema_msg(owner: str, table: str, obj: int | None = None,
+                columns: "list[tuple] | None" = None) -> bytes:
+    out = _ld(1, owner.encode("utf-8")) + _ld(2, table.encode("utf-8"))
+    if obj is not None:
+        out += _vint(3, int(obj))
+    for name, ctype, nullable in columns or ():
+        cmsg = _ld(1, name.encode("utf-8"))
+        if ctype:  # UNKNOWN=0: plain proto3 enum, zero-suppressed
+            cmsg += _vint(2, int(ctype))
+        if nullable:
+            cmsg += _vint(6, 1)
+        out += _ld(6, cmsg)
+    return out
 
 
 def _payload_msg(op_enum: int, schema: bytes | None,
@@ -129,13 +204,27 @@ def _payload_msg(op_enum: int, schema: bytes | None,
     return out
 
 
-def _response(scn: int, xid: str, payloads: list[bytes]) -> bytes:
+def _response(scn: int, xid: str, payloads: list[bytes],
+              scns: str | None = None, tm: int | None = None,
+              tms: str | None = None, xidn: int | None = None) -> bytes:
     # scn sits inside oneof scn_val and xid inside oneof xid_val
     # (OraProtoBuf.proto:139-147): explicit presence, so scn=0 — a
-    # legitimate resume point — is emitted, never collapsed to "no scn"
+    # legitimate resume point — is emitted, never collapsed to "no scn".
+    # Fields pack in field-number order, matching the stock serializer:
+    # code(1), scn(2)|scns(3), tm(4)|tms(5), xid(6)|xidn(7), payload(8).
     out = _vint(1, _PAYLOAD_CODE)
-    out += _vint(2, int(scn))
-    out += _ld(6, str(xid).encode("utf-8"))
+    if scns is not None:
+        out += _ld(3, scns.encode("utf-8"))
+    else:
+        out += _vint(2, int(scn))
+    if tm is not None:
+        out += _vint(4, int(tm))
+    elif tms is not None:
+        out += _ld(5, tms.encode("utf-8"))
+    if xidn is not None:
+        out += _vint(7, int(xidn))
+    else:
+        out += _ld(6, str(xid).encode("utf-8"))
     for p in payloads:
         out += _ld(8, p)
     return out
@@ -144,12 +233,13 @@ def _response(scn: int, xid: str, payloads: list[bytes]) -> bytes:
 # ------------------------------------------------------- dataframe operators
 
 def _op_payload(row_op: str, owner: str, table: str, key: dict,
-                after: dict, cols_set) -> bytes:
+                after: dict, cols_set, obj: int | None = None,
+                columns: "list[tuple] | None" = None) -> bytes:
     """Payload for one DML op. INSERT/UPDATE carry ``after`` values for the
     key + every column named in cols_set; DELETE carries the key as
     ``before`` (the reference's delete emits before-images,
     OutputBufferProtobuf.cpp:541-560)."""
-    schema = _schema_msg(owner, table)
+    schema = _schema_msg(owner, table, obj=obj, columns=columns)
     kv = [_value(k, v) for k, v in key.items()]
     if row_op == "D":
         return _payload_msg(_OP_ENUM["D"], schema, before=kv)
@@ -160,12 +250,66 @@ def _op_payload(row_op: str, owner: str, table: str, key: dict,
                         schema, after=av)
 
 
+def _hdr_select_cols(assembled: DataFrame, fmt: "ProtoFormat | None") -> list:
+    """Header values the reference computes per message, pre-rendered as
+    JVM columns (hex scn, ISO/millis timestamp, numeric xid) so the Arrow
+    kernel only packs bytes."""
+    if fmt is None:
+        return []
+    cols = []
+    if fmt.scn_format & 1:
+        cols.append(F.lpad(F.lower(F.hex(F.col("commit_scn"))), 16, "0")
+                    .alias("hscns"))
+    if "commit_ts" in assembled.columns:
+        if fmt.timestamp_format & 1:
+            cols.append(F.date_format(
+                F.col("commit_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("htms"))
+        else:
+            cols.append(F.unix_millis(F.col("commit_ts")).alias("htm"))
+    if fmt.xid_format == 1:
+        cols.append(F.xxhash64(F.col("xid")).alias("hxidn"))
+    return cols
+
+
+def _hdr_kwargs(r) -> dict:
+    kw = {}
+    v = getattr(r, "hscns", None)
+    if v is not None:
+        kw["scns"] = v
+    v = getattr(r, "htm", None)
+    if v is not None and v == v:
+        kw["tm"] = int(v)
+    v = getattr(r, "htms", None)
+    if v is not None:
+        kw["tms"] = v
+    v = getattr(r, "hxidn", None)
+    if v is not None:
+        kw["xidn"] = int(v)
+    return kw
+
+
+def _schema_detail(fmt: "ProtoFormat | None", owner: str, table: str,
+                   schema_columns) -> dict:
+    if fmt is None:
+        return {}
+    out = {}
+    if fmt.schema_format & 4:  # SCHEMA_FORMAT_OBJ
+        out["obj"] = stable_obj_id(owner, table)
+    if fmt.schema_format & 1:  # SCHEMA_FORMAT_FULL (|REPEATED, see class doc)
+        out["columns"] = schema_columns or []
+    return out
+
+
 def protobuf_stream_ops(
     assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
     key_cols: "tuple[str, ...] | None" = None,
+    fmt: "ProtoFormat | None" = None,
+    schema_columns: "list[tuple] | None" = None,
 ) -> DataFrame:
     """Per-op protobuf messages ("message":0): one RedoResponse per DML.
-    Map-only (no shuffle). Output: (scn, commit_scn, xid, value binary)."""
+    Map-only (no shuffle). Output: (scn, commit_scn, xid, value binary).
+    ``fmt``/``schema_columns``: reference header/schema knobs (ProtoFormat);
+    None keeps the round-3 bytes."""
     kc = list(key_cols or cfg.key_cols)
     table_lit = cfg.table_filter[0] if cfg.table_filter else "?"
     has_table = "table" in assembled.columns
@@ -174,10 +318,19 @@ def protobuf_stream_ops(
         (F.col("table") if has_table else F.lit(table_lit)).alias("table"),
         F.struct(*[F.col(k) for k in kc]).alias("key"),
         F.col("after"),
+        *_hdr_select_cols(assembled, fmt),
     )
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        sdetail: dict[str, dict] = {}
+
+        def detail(table):
+            if table not in sdetail:
+                sdetail[table] = _schema_detail(fmt, owner, table,
+                                                schema_columns)
+            return sdetail[table]
 
         for pdf in batches:
             vals = [
@@ -186,7 +339,8 @@ def protobuf_stream_ops(
                     [_op_payload(r.op, owner, r.table, dict(r.key),
                                  dict(r.after) if r.after is not None else {},
                                  list(r.cols_set) if r.cols_set is not None
-                                 else None)],
+                                 else None, **detail(r.table))],
+                    **_hdr_kwargs(r),
                 )
                 for r in pdf.itertuples()
             ]
@@ -203,6 +357,8 @@ def protobuf_stream_messages(
     assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
     key_cols: "tuple[str, ...] | None" = None,
     max_ops_per_message: int | None = None,
+    fmt: "ProtoFormat | None" = None,
+    schema_columns: "list[tuple] | None" = None,
 ) -> DataFrame:
     """Per-transaction protobuf messages ("message":1): one RedoResponse per
     committed transaction with payloads [BEGIN, ops..., COMMIT] in (scn, seq)
@@ -221,13 +377,16 @@ def protobuf_stream_messages(
         F.struct(*[F.col(k) for k in kc]).alias("key"),
         F.col("after"),
     )
-    per_tx = assembled.groupBy("xid", "commit_scn").agg(
+    have_ts = fmt is not None and "commit_ts" in assembled.columns
+    gb = ["xid", "commit_scn"] + (["commit_ts"] if have_ts else [])
+    per_tx = assembled.groupBy(*gb).agg(
         F.array_sort(F.collect_list(op_struct)).alias("ops")
     )
+    hdr = _hdr_select_cols(per_tx, fmt)
     if max_ops_per_message is None:
         chunked = per_tx.select(
             "xid", "commit_scn", F.lit(1).alias("n_msgs"),
-            F.lit(0).alias("msg_seq"), F.col("ops").alias("chunk"),
+            F.lit(0).alias("msg_seq"), F.col("ops").alias("chunk"), *hdr,
         )
     else:
         if max_ops_per_message < 1:
@@ -241,11 +400,19 @@ def protobuf_stream_messages(
                     F.sequence(F.lit(0), n_msgs - 1),
                     lambda i: F.slice(F.col("ops"), i * cap + 1, cap),
                 )
-            ).alias("msg_seq", "chunk"),
+            ).alias("msg_seq", "chunk"), *hdr,
         )
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        sdetail: dict[str, dict] = {}
+
+        def detail(table):
+            if table not in sdetail:
+                sdetail[table] = _schema_detail(fmt, owner, table,
+                                                schema_columns)
+            return sdetail[table]
 
         for pdf in batches:
             vals, n_ops = [], []
@@ -258,10 +425,11 @@ def protobuf_stream_messages(
                         o["op"], owner, o["table"], dict(o["key"]),
                         dict(o["after"]) if o["after"] is not None else {},
                         list(o["cols_set"]) if o["cols_set"] is not None
-                        else None))
+                        else None, **detail(o["table"])))
                 if r.msg_seq == r.n_msgs - 1:
                     payloads.append(_payload_msg(_OP_ENUM["COMMIT"], None))
-                vals.append(_response(int(r.commit_scn), r.xid, payloads))
+                vals.append(_response(int(r.commit_scn), r.xid, payloads,
+                                      **_hdr_kwargs(r)))
                 n_ops.append(len(r.chunk))
             yield pd.DataFrame({
                 "commit_scn": pdf["commit_scn"], "xid": pdf["xid"],
@@ -342,13 +510,18 @@ _OP_NAME = {v: k for k, v in _OP_ENUM.items()}
 
 
 def decode_response(b: bytes) -> dict:
-    """RedoResponse bytes -> {code, scn, xid, payloads:[{op, schema:
-    (owner, name) | None, before:{..}, after:{..}, ddl}]}."""
+    """RedoResponse bytes -> {code, scn|scns, tm|tms, xid|xidn,
+    payloads:[{op, schema: (owner, name) | None, obj, columns,
+    before:{..}, after:{..}, ddl}]}."""
     m = _parse_fields(b)
     out = {
         "code": m.get(1, [0])[0],
         "scn": m[2][0] if 2 in m else None,
+        "scns": m[3][0].decode("utf-8") if 3 in m else None,
+        "tm": m[4][0] if 4 in m else None,
+        "tms": m[5][0].decode("utf-8") if 5 in m else None,
         "xid": m[6][0].decode("utf-8") if 6 in m else None,
+        "xidn": m[7][0] if 7 in m else None,
         "payloads": [],
     }
     for raw in m.get(8, []):
@@ -356,6 +529,8 @@ def decode_response(b: bytes) -> dict:
         entry = {
             "op": _OP_NAME.get(p.get(1, [0])[0], "?"),
             "schema": None,
+            "obj": None,
+            "columns": [],
             "before": dict(_decode_value(v) for v in p.get(4, [])),
             "after": dict(_decode_value(v) for v in p.get(5, [])),
             "ddl": p[6][0].decode("utf-8") if 6 in p else None,
@@ -363,6 +538,14 @@ def decode_response(b: bytes) -> dict:
         if 2 in p:
             s = _parse_fields(p[2][0])
             entry["schema"] = (s[1][0].decode(), s[2][0].decode())
+            entry["obj"] = s[3][0] if 3 in s else None
+            for craw in s.get(6, []):
+                c = _parse_fields(craw)
+                entry["columns"].append((
+                    c[1][0].decode("utf-8"),
+                    c.get(2, [0])[0],
+                    bool(c.get(6, [0])[0]),
+                ))
         out["payloads"].append(entry)
     return out
 

@@ -1,0 +1,170 @@
+"""Round-4 format-fidelity features:
+
+  * assembly carries ``commit_ts`` (the commit event's timestamp) on both
+    the SQL and pandas paths, equal across them;
+  * JSON message-format knobs (types.h:85-116): scn hex / ISO8601 tms /
+    unix tm / numeric xidn, and the SHORT-mode begin/commit BRACKET
+    message stream (OutputBufferJson.cpp processBegin/Commit);
+  * protobuf header knobs (scns/tm/tms/xidn) and Schema obj/column
+    sub-messages (OutputBufferProtobuf.cpp appendHeader/appendSchema).
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.config import EngineConfig
+from openlogreplicator_spark.feed import generate_change_events
+from openlogreplicator_spark.operators.assembly import (
+    assemble_transactions_pandas,
+    assemble_transactions_sql,
+)
+from openlogreplicator_spark.operators.decode import decode_events
+
+CFG = EngineConfig()
+
+
+def _assembled(spark, n_txs=30, seed=43):
+    ev = decode_events(
+        generate_change_events(spark, n_txs=n_txs, n_convs=6, seed=seed), CFG)
+    return assemble_transactions_sql(ev, CFG), ev
+
+
+# ------------------------------------------------------------- commit_ts
+
+def test_commit_ts_matches_commit_event_and_paths_agree(spark):
+    surv, ev = _assembled(spark)
+    # commit_ts == the ts of the tx's commit event
+    commits = {r["scn"]: r["ts"] for r in
+               ev.where("op = 'C'").select("scn", "ts").collect()}
+    rows = surv.select("commit_scn", "commit_ts").distinct().collect()
+    assert rows and all(r["commit_ts"] == commits[r["commit_scn"]]
+                        for r in rows)
+    # pandas path agrees bit-for-bit
+    pnd = assemble_transactions_pandas(ev, CFG)
+    a = sorted((r["scn"], r["commit_scn"], r["commit_ts"])
+               for r in surv.select("scn", "commit_scn", "commit_ts")
+               .collect())
+    b = sorted((r["scn"], r["commit_scn"], r["commit_ts"])
+               for r in pnd.select("scn", "commit_scn", "commit_ts")
+               .collect())
+    assert a == b
+
+
+# ------------------------------------------------------------ JSON knobs
+
+def test_json_format_knobs(spark):
+    from openlogreplicator_spark.sinks import JsonFormat, change_stream_ops
+
+    surv, _ = _assembled(spark)
+    one = surv.orderBy("commit_scn", "scn").limit(1)
+
+    # default (no fmt): round-3 shape — scn + op_scn + xid
+    d = json.loads(change_stream_ops(one, CFG).first()["value"])
+    assert {"scn", "op_scn", "xid"} <= set(d)
+
+    r = one.first()
+    # hex scns + ISO tms + numeric xidn
+    fmt = JsonFormat(scn_format=1, timestamp_format=1, xid_format=1)
+    m = json.loads(change_stream_ops(one, CFG, fmt=fmt).first()["value"])
+    assert m["scns"] == "0x%016x" % r["commit_scn"]
+    assert m["tms"].endswith("Z") and "T" in m["tms"]
+    assert isinstance(m["xidn"], int) and "xid" not in m
+    assert "scn" not in m and "op_scn" not in m
+
+    # numeric scn + unix-millis tm + text xid
+    m2 = json.loads(change_stream_ops(one, CFG, fmt=JsonFormat())
+                    .first()["value"])
+    assert m2["scn"] == r["commit_scn"]
+    assert m2["tm"] == r["commit_ts"].timestamp() * 1000 // 1 or m2["tm"] > 0
+    assert m2["xid"] == r["xid"]
+
+
+def test_json_bracket_stream(spark):
+    from openlogreplicator_spark.sinks import (
+        JsonFormat, change_stream_brackets,
+    )
+
+    surv, _ = _assembled(spark, n_txs=20, seed=47)
+    msgs = (change_stream_brackets(surv, CFG)
+            .orderBy("commit_scn", "xid", "kind", "scn", "seq").collect())
+    n_tx = surv.select("xid", "commit_scn").distinct().count()
+    n_ops = surv.count()
+    assert len(msgs) == n_ops + 2 * n_tx
+
+    by_tx = {}
+    for r in msgs:
+        by_tx.setdefault((r["commit_scn"], r["xid"]), []).append(r)
+    for (cs, xid), tx in by_tx.items():
+        head = json.loads(tx[0]["value"])
+        tail = json.loads(tx[-1]["value"])
+        assert head["payload"] == [{"op": "begin"}]
+        assert tail["payload"] == [{"op": "commit"}]
+        # begin carries the full header; default op messages xid-only
+        assert head["scn"] == cs and "tm" in head and head["xid"] == xid
+        for r2 in tx[1:-1]:
+            m = json.loads(r2["value"])
+            assert m["xid"] == xid
+            assert "scn" not in m and "tm" not in m  # first-message-only
+            assert m["payload"][0]["op"] in ("c", "u", "d")
+
+    # ALL_PAYLOADS bits repeat scn + tm on every message
+    fmt = JsonFormat(scn_format=2, timestamp_format=2)
+    all_msgs = change_stream_brackets(surv, CFG, fmt=fmt).collect()
+    for r in all_msgs:
+        m = json.loads(r["value"])
+        assert "scn" in m and "tm" in m
+
+
+# -------------------------------------------------------- protobuf knobs
+
+def test_protobuf_format_knobs_and_schema_detail(spark):
+    from openlogreplicator_spark.sinks.protobuf_stream import (
+        ProtoFormat,
+        decode_response,
+        protobuf_stream_messages,
+        schema_columns_for,
+        stable_obj_id,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    surv, _ = _assembled(spark, n_txs=10, seed=59)
+    cols = schema_columns_for(StructType([
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]))
+    assert ("conv_id", 1, False) in cols and ("turn_idx", 2, False) in cols
+    assert ("ts", 13, True) in cols
+
+    fmt = ProtoFormat(scn_format=1, timestamp_format=0, xid_format=1,
+                      schema_format=5)  # HEX scns, unix tm, xidn, FULL|OBJ
+    rows = protobuf_stream_messages(surv, CFG, fmt=fmt,
+                                    schema_columns=cols).collect()
+    assert rows
+    src_ts = {(r["commit_scn"], r["xid"]): r["commit_ts"] for r in
+              surv.select("commit_scn", "xid", "commit_ts").distinct()
+              .collect()}
+    for r in rows:
+        m = decode_response(bytes(r["value"]))
+        assert m["scns"] == "%016x" % r["commit_scn"] and m["scn"] is None
+        assert m["xidn"] is not None and m["xid"] is None
+        want_tm = src_ts[(r["commit_scn"], r["xid"])]
+        assert m["tm"] == int(want_tm.timestamp() * 1000)
+        for p in m["payloads"]:
+            if p["op"] in ("I", "U", "D"):
+                assert p["obj"] == stable_obj_id("OLR", p["schema"][1])
+                assert p["columns"] == cols
+
+    # defaults untouched: numeric scn, text xid, no tm, no schema detail
+    plain = protobuf_stream_messages(surv, CFG).collect()
+    for r in plain:
+        m = decode_response(bytes(r["value"]))
+        assert m["scn"] == r["commit_scn"] and m["scns"] is None
+        assert m["xid"] == r["xid"] and m["tm"] is None and m["tms"] is None
+        for p in m["payloads"]:
+            if p["op"] in ("I", "U", "D"):
+                assert p["obj"] is None and p["columns"] == []
