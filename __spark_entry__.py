@@ -324,6 +324,59 @@ def _q_json_stream(spark, sf_dir):
     )
 
 
+def _q_json_brackets(spark, sf_dir):
+    """O1 SHORT-mode bracket stream (round 4, OutputBufferJson.cpp
+    processBegin/processCommit): every transaction streams as a begin
+    message, per-op messages, and a commit message. The query parses the
+    RENDERED JSON back and emits per-tx facts — message count, bracket op
+    names, the begin header's scn, a count of per-op messages that leaked
+    a header scn (must be 0: headers are first-message-only by default),
+    and the op/key/text sequences. The oracle predicts all of it from
+    `surv` relationally."""
+    from openlogreplicator_spark.sinks import change_stream_brackets
+
+    ev = derive_feed(spark, sf_dir)
+    surv = assemble_transactions_sql(ev, _CFG)
+    msgs = change_stream_brackets(surv, _CFG)
+    sch = ("scn bigint, xid string, payload array<struct<"
+           "op:string, key:struct<conv_id:string,turn_idx:bigint>, "
+           "after:struct<text:string>>>")
+    p = msgs.select(
+        "commit_scn", "xid", "kind", "scn", "seq",
+        F.from_json("value", sch).alias("m"),
+    )
+    e0 = F.col("m.payload").getItem(0)
+    op_entry = F.when(F.col("kind") == 1,
+                      F.struct(F.col("scn"), F.col("seq"), e0.alias("e")))
+    per_tx = p.groupBy("commit_scn", "xid").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.max(F.when(F.col("kind") == 0, e0["op"])).alias("first_op"),
+        F.max(F.when(F.col("kind") == 2, e0["op"])).alias("last_op"),
+        F.max(F.when(F.col("kind") == 0, F.col("m.scn"))).alias("begin_scn"),
+        F.sum(F.when((F.col("kind") == 1) & F.col("m.scn").isNotNull(), 1)
+              .otherwise(0)).alias("hdr_leaks"),
+        F.array_sort(F.collect_list(op_entry)).alias("seq_ops"),
+    )
+    o = lambda x: x["e"]  # noqa: E731
+    return per_tx.select(
+        "commit_scn", "xid",
+        (F.col("n_msgs") - 2).alias("n_ops"),
+        "first_op", "last_op", "begin_scn", "hdr_leaks",
+        F.concat_ws("", F.transform(F.col("seq_ops"),
+                                    lambda x: o(x)["op"])).alias("ops_codes"),
+        F.concat_ws(",", F.transform(
+            F.col("seq_ops"),
+            lambda x: F.concat_ws(":", o(x)["key"]["conv_id"],
+                                  o(x)["key"]["turn_idx"].cast("string")),
+        )).alias("keys_str"),
+        F.concat_ws("|", F.transform(
+            F.col("seq_ops"),
+            lambda x: F.when(o(x)["op"] == "d", F.lit(""))
+            .otherwise(F.coalesce(o(x)["after"]["text"], F.lit(""))),
+        )).alias("texts"),
+    )
+
+
 def _q_protobuf_stream(spark, sf_dir):
     """O2 oracle check (the JSON sink graduated the same way in round 3):
     serialize per-transaction PROTOBUF messages against the reference's
@@ -528,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_before_trim": _q_before_trim,
         "cdc_update_trim": _q_update_trim,
         "cdc_json_stream": _q_json_stream,
+        "cdc_json_brackets": _q_json_brackets,
         "cdc_protobuf_stream": _q_protobuf_stream,
         "cdc_multirow_unnest": _q_multirow_unnest,
         "cdc_scd2": _q_scd2,
@@ -862,6 +916,23 @@ def oracle_sql() -> dict[str, str]:
         "cdc_json_stream": FEED_SQL + """
             SELECT commit_scn, xid,
                    CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   string_agg(CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u'
+                              ELSE 'd' END, '' ORDER BY scn, seq) AS ops_codes,
+                   string_agg(conv_id || ':' || CAST(turn_idx AS VARCHAR),
+                              ',' ORDER BY scn, seq) AS keys_str,
+                   string_agg(CASE WHEN op = 'D' THEN '' ELSE text_v END,
+                              '|' ORDER BY scn, seq) AS texts
+            FROM surv GROUP BY xid, commit_scn
+        """,
+        # bracket-stream facts predicted relationally: 2 bracket messages +
+        # one per op, ordered op/key/text sequences, begin header carries
+        # the commit scn, zero header leaks on op messages
+        "cdc_json_brackets": FEED_SQL + """
+            SELECT commit_scn, xid,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   'begin' AS first_op, 'commit' AS last_op,
+                   commit_scn AS begin_scn,
+                   CAST(0 AS BIGINT) AS hdr_leaks,
                    string_agg(CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u'
                               ELSE 'd' END, '' ORDER BY scn, seq) AS ops_codes,
                    string_agg(conv_id || ':' || CAST(turn_idx AS VARCHAR),

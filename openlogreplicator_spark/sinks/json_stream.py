@@ -73,11 +73,13 @@ def _header_cols(fmt: JsonFormat, have_ts: bool, first: bool) -> list:
         else:
             cols.append(F.col("commit_scn").alias("scn"))
     if have_ts and (first or (fmt.timestamp_format & 2)):
+        # cast covers TIMESTAMP_NTZ feeds (session tz is UTC by contract)
+        cts = F.col("commit_ts").cast("timestamp")
         if fmt.timestamp_format & 1:
             cols.append(F.date_format(
-                F.col("commit_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("tms"))
+                cts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("tms"))
         else:
-            cols.append(F.unix_millis(F.col("commit_ts")).alias("tm"))
+            cols.append(F.unix_millis(cts).alias("tm"))
     if fmt.xid_format == 1:
         cols.append(F.xxhash64(F.col("xid")).alias("xidn"))
     else:

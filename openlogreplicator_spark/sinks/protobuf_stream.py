@@ -261,11 +261,13 @@ def _hdr_select_cols(assembled: DataFrame, fmt: "ProtoFormat | None") -> list:
         cols.append(F.lpad(F.lower(F.hex(F.col("commit_scn"))), 16, "0")
                     .alias("hscns"))
     if "commit_ts" in assembled.columns:
+        # cast covers TIMESTAMP_NTZ feeds (session tz is UTC by contract)
+        cts = F.col("commit_ts").cast("timestamp")
         if fmt.timestamp_format & 1:
             cols.append(F.date_format(
-                F.col("commit_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("htms"))
+                cts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("htms"))
         else:
-            cols.append(F.unix_millis(F.col("commit_ts")).alias("htm"))
+            cols.append(F.unix_millis(cts).alias("htm"))
     if fmt.xid_format == 1:
         cols.append(F.xxhash64(F.col("xid")).alias("hxidn"))
     return cols

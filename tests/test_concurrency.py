@@ -248,6 +248,91 @@ def test_watermark_races_merge(spark, tmp_path):
         assert t.manifest(v)["parent"] == v - 1
 
 
+def test_merge_rebases_without_recompute_on_disjoint_conflict(spark, tmp_path):
+    """A metadata-only commit landing mid-merge triggers the REBASE path:
+    the already-written data files recommit against the fresh manifest and
+    the Spark job does NOT re-run (round-4 _commit_rebased)."""
+    t = _mk(spark, tmp_path / "t", mode="cow")
+    writes = {"n": 0}
+    orig_write = t._write_data
+
+    def counting_write(*a, **k):
+        writes["n"] += 1
+        return orig_write(*a, **k)
+
+    t._write_data = counting_write
+    orig_commit = t._commit
+    state = {"injected": False}
+
+    def racing(manifest):
+        if not state["injected"] and \
+                manifest.get("summary", {}).get("operation") == "merge":
+            state["injected"] = True
+            # an external writer lands a metadata-only commit first
+            LakeTable(t.path).commit_watermark(
+                1, {"operation": "noop", "batch_id": 1})
+        return orig_commit(manifest)
+
+    t._commit = racing
+    try:
+        rows = [(k, f"r{k}", "U", ["v"]) for k in range(5)]
+        s = t.merge(spark, spark.createDataFrame(rows, UPD), batch_id=2)
+    finally:
+        t._commit = orig_commit
+        t._write_data = orig_write
+    assert not s.get("skipped")
+    assert writes["n"] == 1, "rebase must not re-run the Spark write"
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert all(got[k] == f"r{k}" for k in range(5))
+    assert t.last_batch_id() == 2
+
+
+def test_merge_recomputes_on_same_bucket_conflict(spark, tmp_path):
+    """A conflicting MERGE that touched the SAME buckets makes the rebase
+    unsafe: the outer retry re-runs the whole merge against fresh state —
+    no lost update from either writer."""
+    t = _mk(spark, tmp_path / "t", mode="cow")
+    writes = {"n": 0}
+    orig_write = t._write_data
+
+    def counting_write(*a, **k):
+        writes["n"] += 1
+        return orig_write(*a, **k)
+
+    t._write_data = counting_write
+    orig_commit = t._commit
+    state = {"injected": False}
+
+    def racing(manifest):
+        if not state["injected"] and \
+                manifest.get("summary", {}).get("operation") == "merge":
+            state["injected"] = True
+            # an external writer merges OVERLAPPING keys first (batch 2;
+            # our in-flight merge is batch 3)
+            LakeTable(t.path).merge(
+                spark,
+                spark.createDataFrame(
+                    [(k, f"other{k}", "U", ["v"]) for k in range(10)], UPD),
+                batch_id=2)
+        return orig_commit(manifest)
+
+    t._commit = racing
+    try:
+        rows = [(k, f"mine{k}", "U", ["v"]) for k in range(5)]
+        s = t.merge(spark, spark.createDataFrame(rows, UPD), batch_id=3)
+    finally:
+        t._commit = orig_commit
+        t._write_data = orig_write
+    assert not s.get("skipped")
+    assert writes["n"] >= 2, "same-bucket conflict must recompute"
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    # our merge replayed on top of the interloper's state: keys 0-4 ours,
+    # 5-9 the interloper's
+    assert all(got[k] == f"mine{k}" for k in range(5))
+    assert all(got[k] == f"other{k}" for k in range(5, 10))
+    assert t.last_batch_id() == 3
+
+
 def test_metadata_tables(spark, tmp_path):
     """history()/files() metadata tables (Iceberg <table>.history/.files):
     queryable DataFrames over the manifests, no data I/O."""

@@ -39,6 +39,7 @@ def wrap(obj, name, label):
 
 wrap(L.LakeTable, "_write_data", "merge_write")
 wrap(L.LakeTable, "merge", "merge_total")
+wrap(L.LakeTable, "merge_direct", "merge_total")  # bootstrap fast path
 wrap(R, "collect_ddls", "ddl_collect")
 
 cfg = EngineConfig(num_buckets=64)
