@@ -51,10 +51,17 @@ def main(argv: list[str]) -> None:
     p.add_argument("--start-scn", type=int)
     p.add_argument("--start-seq", type=int)
     p.add_argument("--start-ts")
-    # W1/W2 analog: serialize committed transactions as JSON messages
+    # W1/W2 analog: serialize committed transactions as messages
     p.add_argument("--change-stream-dir")
+    # message serialization: json (OutputBufferJson) or protobuf
+    # (OutputBufferProtobuf — the reference's "format":"protobuf" writer)
+    p.add_argument("--change-stream-format", choices=["json", "protobuf"],
+                   default="json")
     # SCD2 side-output: maintain a version-history lake table per batch
     p.add_argument("--history-dir")
+    # SCD2 open-version store: O(live keys) seed reads, flat as closed
+    # history grows (round 4)
+    p.add_argument("--history-open-dir")
     # materialized view: per-conversation rollup maintained per batch
     p.add_argument("--conversations-dir")
     # table maintenance: expire superseded CoW snapshots after the run
@@ -114,8 +121,10 @@ def main(argv: list[str]) -> None:
             else bootstrap_target(args.target, cfg)
         )
         history = None
+        history_open = None
         if args.history_dir:
             from openlogreplicator_spark.plans.scd2_apply import (
+                bootstrap_scd2_open_target,
                 bootstrap_scd2_target,
             )
 
@@ -124,6 +133,12 @@ def main(argv: list[str]) -> None:
                 if LakeTable.exists(args.history_dir)
                 else bootstrap_scd2_target(args.history_dir, cfg)
             )
+            if args.history_open_dir:
+                history_open = (
+                    LakeTable(args.history_open_dir)
+                    if LakeTable.exists(args.history_open_dir)
+                    else bootstrap_scd2_open_target(args.history_open_dir, cfg)
+                )
         conversations = None
         if args.conversations_dir:
             from openlogreplicator_spark.plans.rollup_apply import (
@@ -139,7 +154,9 @@ def main(argv: list[str]) -> None:
         pipe = CDCStreamPipeline(
             table, cfg, args.state_dir,
             change_stream_dir=args.change_stream_dir,
+            change_stream_format=args.change_stream_format,
             history_table=history,
+            history_open_table=history_open,
             conversations_table=conversations,
         )
         q = pipe.run_stream(

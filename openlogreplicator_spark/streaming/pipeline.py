@@ -52,6 +52,7 @@ class CDCStreamPipeline:
         state_dir: str,
         use_pandas_assembly: bool | None = None,
         change_stream_dir: str | None = None,
+        change_stream_format: str = "json",
         history_table: "LakeTable | None" = None,
         history_open_table: "LakeTable | None" = None,
         conversations_table: "LakeTable | None" = None,
@@ -70,10 +71,17 @@ class CDCStreamPipeline:
         self.cfg = cfg
         self.state_dir = state_dir
         # optional W1/W2 side-channel: serialize each microbatch's committed
-        # transactions as JSON messages (sinks/json_stream.py). Per-batch
-        # subdir + overwrite => a replayed batch rewrites the same files
-        # (idempotent). A Kafka deployment points this at a kafka sink instead.
+        # transactions as messages — JSON (sinks/json_stream.py) or protobuf
+        # (sinks/protobuf_stream.py, the reference's "format":"protobuf"
+        # writer). Per-batch subdir + overwrite => a replayed batch rewrites
+        # the same files (idempotent). A Kafka deployment points this at a
+        # kafka sink instead.
+        if change_stream_format not in ("json", "protobuf"):
+            raise ValueError(
+                f"change_stream_format must be 'json' or 'protobuf', "
+                f"got {change_stream_format!r}")
         self.change_stream_dir = change_stream_dir
+        self.change_stream_format = change_stream_format
         # optional SCD2 side-output: maintain a version-history lake table
         # incrementally per microbatch (plans/scd2_apply.py) — the
         # warehouse-side history the reference leaves to its consumers,
@@ -213,17 +221,24 @@ class CDCStreamPipeline:
                     open_table=self.history_open_table,
                 ))
             if self.change_stream_dir is not None:
-                from openlogreplicator_spark.sinks import (
-                    change_stream_messages, write_change_stream,
-                )
+                if self.change_stream_format == "protobuf":
+                    from openlogreplicator_spark.sinks import (
+                        protobuf_stream_messages as _messages,
+                        write_protobuf_stream as _write,
+                    )
+                else:
+                    from openlogreplicator_spark.sinks import (
+                        change_stream_messages as _messages,
+                        write_change_stream as _write,
+                    )
 
                 if self.tables is not None:
                     # per-table serialization: each table's messages carry
                     # ITS key columns (per-table key overrides), in a
                     # per-table subdir
                     for name, tbl in self.tables.items():
-                        write_change_stream(
-                            change_stream_messages(
+                        _write(
+                            _messages(
                                 committed.where(F.col("table") == name),
                                 self.cfg, key_cols=tuple(tbl.key_cols),
                             ),
@@ -231,8 +246,8 @@ class CDCStreamPipeline:
                                          f"batch_{batch_id}"),
                         )
                 else:
-                    write_change_stream(
-                        change_stream_messages(committed, self.cfg),
+                    _write(
+                        _messages(committed, self.cfg),
                         os.path.join(self.change_stream_dir,
                                      f"batch_{batch_id}"),
                     )

@@ -116,6 +116,63 @@ def test_json_bracket_stream(spark):
         assert "scn" in m and "tm" in m
 
 
+# ------------------------------------------- protobuf streaming side-channel
+
+def test_streaming_protobuf_change_stream(spark, tmp_path):
+    """CDCStreamPipeline(change_stream_format='protobuf') writes per-batch
+    protobuf message files whose decoded DML op count equals the committed
+    stream (the reference's "format":"protobuf" writer wired end-to-end)."""
+    import glob
+    import os
+    import shutil
+
+    from openlogreplicator_spark.feed import pandas_to_events_df
+    from openlogreplicator_spark.plans.replay import bootstrap_target
+    from openlogreplicator_spark.sinks.protobuf_stream import decoded_ops
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4, maxFilesPerTrigger=1)
+    events = generate_change_events(spark, n_txs=80, n_convs=10, seed=71)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    pdf = events.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    n = len(pdf)
+    for i in range(3):
+        sdf = pandas_to_events_df(spark, pdf.iloc[(n * i) // 3:
+                                                  (n * (i + 1)) // 3])
+        tmp = str(tmp_path / f"_s{i}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    os.path.join(feed_dir, f"seq{i:04d}.parquet"))
+        shutil.rmtree(tmp)
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    cs_dir = str(tmp_path / "cs")
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"),
+                             change_stream_dir=cs_dir,
+                             change_stream_format="protobuf")
+    q = pipe.run_stream(spark, feed_dir, str(tmp_path / "ckpt"),
+                        available_now=True)
+    q.awaitTermination(180)
+    pipe.detach_metrics()
+
+    batches = sorted(glob.glob(os.path.join(cs_dir, "batch_*")))
+    assert batches
+    msgs = spark.read.parquet(*batches)
+    got = decoded_ops(msgs)
+    from openlogreplicator_spark.operators.decode import (
+        decode_events, unnest_multirow,
+    )
+
+    want = unnest_multirow(assemble_transactions_sql(
+        decode_events(events, cfg), cfg))
+    assert got.count() == want.count() > 0
+    diff = (got.select("commit_scn", "xid", "op", "conv_id", "turn_idx")
+            .exceptAll(want.select("commit_scn", "xid", "op",
+                                   "conv_id", "turn_idx")))
+    assert diff.count() == 0
+
+
 # -------------------------------------------------------- protobuf knobs
 
 def test_protobuf_format_knobs_and_schema_detail(spark):
