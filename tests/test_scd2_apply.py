@@ -165,6 +165,53 @@ def test_open_store_batch_split_equals_one_shot(spark, tmp_path):
     pd.testing.assert_frame_equal(_norm(hist.read(spark)), want)
 
 
+def test_open_store_crash_between_merges_then_retry(spark, tmp_path):
+    """Crash INJECTED between the history merge and the open-store merge:
+    the retry of the same batch recomputes from the not-yet-updated store,
+    the history merge is skipped by its write-audit, the open merge lands —
+    final state equals the uninterrupted run (the module-doc replay
+    argument, pinned)."""
+    from openlogreplicator_spark.plans.scd2_apply import (
+        bootstrap_scd2_open_target,
+    )
+
+    surv = _assembled_with_state(spark, seed=43).localCheckpoint()
+    mid = surv.agg(F.expr("percentile_approx(commit_scn, 0.5)")).first()[0]
+    b1 = surv.where(F.col("commit_scn") <= mid)
+    b2 = surv.where(F.col("commit_scn") > mid)
+
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    apply_scd2_batch(spark, b1, hist, CFG, batch_id=1, open_table=open_t)
+
+    # batch 2: history merge lands, then the process "dies" before the
+    # open-store merge
+    orig = open_t.merge
+    open_t.merge = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash before open-store merge"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        apply_scd2_batch(spark, b2, hist, CFG, batch_id=2, open_table=open_t)
+    open_t.merge = orig
+    assert hist.last_batch_id() == 2      # history landed
+    assert open_t.last_batch_id() == 1    # store did not
+
+    # retry of batch 2 (same batch_id)
+    s = apply_scd2_batch(spark, b2, hist, CFG, batch_id=2, open_table=open_t)
+    assert s.get("skipped")                       # history audit skip
+    assert not s["open_store"].get("skipped")     # store catches up
+
+    want = _norm(scd2_history(surv, ["conv_id", "turn_idx"], list(PAYLOAD)))
+    pd.testing.assert_frame_equal(_norm(hist.read(spark)), want)
+    got_open = (open_t.read(spark).select("conv_id", "turn_idx", "valid_from")
+                .toPandas().sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+    want_open = (hist.read(spark).where("is_current")
+                 .select("conv_id", "turn_idx", "valid_from")
+                 .toPandas().sort_values(["conv_id", "turn_idx"])
+                 .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_open, want_open, check_dtype=False)
+
+
 ASSEMBLED_SCHEMA = (
     "conv_id string, turn_idx long, op string, scn long, seq long,"
     " xid string, commit_scn long,"
