@@ -21,7 +21,6 @@ FAST_ORACLE_SUBSET = [
     "cdc_assembly",
     "cdc_assembly_pandas",
     "cdc_final_state",
-    "cdc_lww_dedup",
     "agg_pricing_summary",
     "dedup_exact",
     "ann_topk_dot",
@@ -82,3 +81,34 @@ def test_query_matches_oracle(spark, duck, name):
     assert sc == oc, f"{name}: column mismatch {sc} vs {oc}"
     assert len(sr) == len(orr), f"{name}: rowcount {len(sr)} vs {len(orr)}"
     assert sr == orr, f"{name}: value mismatch"
+
+
+# G3 window form (last committed surviving WRITE wins, whole-row): was the
+# cdc_lww_dedup registry row through round 4; consolidated out of the
+# driver's 50-row oracle budget (round-4 verdict item 2) and pinned here with
+# the identical DuckDB oracle instead.
+_LWW_ORACLE = entrymod.FEED_SQL + """,
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY commit_scn DESC, scn DESC) AS rn
+  FROM surv
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN NOT trimmed THEN event_type END AS role,
+  text_v AS text,
+  CASE WHEN NOT trimmed THEN strftime(src_ts, '%Y-%m-%d %H:%M:%S.%f') END AS ts_str
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def test_lww_dedup_matches_oracle(spark, duck):
+    sdf = entrymod._q_lww_dedup(spark, SF)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    res = duck.execute(_LWW_ORACLE)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    sc, sr = _norm(scols, srows)
+    oc, orr = _norm(ocols, orows)
+    assert sc == oc
+    assert len(sr) == len(orr)
+    assert sr == orr
