@@ -62,7 +62,13 @@ ORACLE_TO_CHARSET: dict[str, str] = {
     "ZHS32GB18030": "gb18030",     # CharacterSetZHS32GB18030.cpp
     "ZHT16MSWIN950": "Big5",
     "ZHT16HKSCS31": "big5hkscs",   # CharacterSetZHT16HKSCS31.cpp
-    "ZHT16HKSCS": "big5hkscs",     # pre-3.1 HKSCS table, same stdlib codec
+    # ZHT16HKSCS is the reference's pre-3.1 table (HKSCS-2001 era,
+    # CharacterSet16bit.h); Python's big5hkscs implements HKSCS-2004, in
+    # which a handful of code points moved between revisions. ACCEPTED
+    # APPROXIMATION (documented exception to this module's
+    # refuse-rather-than-approximate policy): the 2004 mapping is a strict
+    # improvement for modern data, and the delta set is tiny and obsolete.
+    "ZHT16HKSCS": "big5hkscs",
     "TH8TISASCII": "tis-620",
 }
 

@@ -214,6 +214,23 @@ class _commit_lock:
                         f"process for >{self.timeout_s}s")
                 time.sleep(0.005)
 
+    def assert_held(self) -> None:
+        """Re-verify ownership just before the pointer swap: the residual
+        breaker race in _try_break (a fresh live holder displaced inside
+        the read->rename microsecond window) leaves the lock path free
+        while this holder is mid-critical-section. Checking the token
+        again here turns that displacement into a DETECTED CommitConflict
+        (caller retries) instead of a possible lost pointer write."""
+        try:
+            with open(self.lock_path) as f:
+                if f.read() == self._token:
+                    return
+        except OSError:
+            pass
+        raise CommitConflict(
+            "commit lock lost mid-critical-section (displaced by a "
+            "stale-lock breaker) — retrying the commit")
+
     def __exit__(self, *exc):
         try:
             with open(self.lock_path) as f:
@@ -430,7 +447,7 @@ class LakeTable:
         Iceberg's catalog compare-and-swap; on an object-store catalog the
         same role is played by a conditional PUT."""
         v = manifest["version"]
-        with _commit_lock(self.path):
+        with _commit_lock(self.path) as lk:
             if os.path.exists(os.path.join(self.path, _POINTER)):
                 cur = self.current_version()
                 parent = manifest.get("parent")
@@ -442,6 +459,10 @@ class LakeTable:
                 os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json"),
                 json.dumps(manifest),
             )
+            # last-instant ownership re-check (see assert_held): a holder
+            # displaced by the breaker's residual race aborts as a conflict
+            # here, never racing its pointer swap against the usurper's
+            lk.assert_held()
             _atomic_write(os.path.join(self.path, _POINTER), str(v))
         self._manifest_cache[v] = manifest
 
@@ -922,11 +943,19 @@ class LakeTable:
         tset = set(touched)
 
         def build(mb):
+            nv = mb["version"] + 1
+            # rebase keeps the documented invariant 'entry seq == committing
+            # snapshot version': entries were stat'ed against the originally
+            # intended version — rewrite when the commit lands higher (safe:
+            # _rebase_safe guarantees the touched buckets' existing entries
+            # all have seq <= base version < nv, so relative order holds)
+            ents = ([dict(e, seq=nv) for e in new_entries] if nv != v
+                    else new_entries)
             n = dict(mb)
             n.update(
-                version=mb["version"] + 1,
+                version=nv,
                 files=[f for f in mb["files"] if f["bucket"] not in tset]
-                + new_entries,
+                + ents,
                 parent=mb["version"],
                 last_batch_id=max(batch_id, mb["last_batch_id"]),
                 last_scn=max(int((summary or {}).get("scn_max", -1)),
@@ -1078,10 +1107,19 @@ class LakeTable:
             **(summary or {}),
         }
         def build(mb):
+            nv = mb["version"] + 1
+            # same seq-rewrite as the CoW build: under rebase the committing
+            # version exceeds the one the files were stat'ed with. Data and
+            # delete entries of one batch keep EQUAL seq (a batch's deletes
+            # never kill its own data — readers apply deletes to lower seq)
+            d_ents, x_ents = data_entries, del_entries
+            if nv != v:
+                d_ents = [dict(e, seq=nv) for e in data_entries]
+                x_ents = [dict(e, seq=nv) for e in del_entries]
             n = dict(mb)
             n.update(
-                version=mb["version"] + 1,
-                files=list(mb["files"]) + data_entries + del_entries,
+                version=nv,
+                files=list(mb["files"]) + d_ents + x_ents,
                 parent=mb["version"],
                 last_batch_id=max(batch_id, mb["last_batch_id"]),
                 last_scn=max(int((summary or {}).get("scn_max", -1)),

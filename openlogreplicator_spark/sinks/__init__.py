@@ -3,6 +3,7 @@ from openlogreplicator_spark.sinks.json_stream import (  # noqa: F401
     change_stream_brackets,
     change_stream_messages,
     change_stream_ops,
+    json_schema_columns_for,
     write_change_stream,
 )
 from openlogreplicator_spark.sinks.kafka import (  # noqa: F401

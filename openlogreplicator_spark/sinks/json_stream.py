@@ -50,7 +50,17 @@ class JsonFormat:
       * ``xid_format``: 0 TEXT ``"xid"`` (the feed's string xid — the
         reference renders usn.slt.sqn text); 1 NUMERIC ``"xidn"`` (the
         reference emits the raw 8-byte xid; string xids here map through
-        xxhash64, a stable 64-bit numeric identity).
+        xxhash64, a stable 64-bit numeric identity);
+      * ``schema_format`` (OutputBufferJson.cpp:226-372 columns rendering,
+        knobs types.h:104-116): bit0 (SCHEMA_FORMAT_FULL) -> each op's
+        ``schema`` carries a ``columns`` array of {name, type, nullable}
+        definitions (pass ``schema_columns``, see
+        ``json_schema_columns_for``) on EVERY message (the reference's
+        once-per-object dedupe is a single-producer notion; a parallel
+        sink treats FULL as FULL|REPEATED — same documented deviation as
+        the protobuf side); bit2 (SCHEMA_FORMAT_OBJ) -> ``schema.obj``,
+        the stable CRC32 of owner.table (identical to protobuf's
+        ``stable_obj_id``).
 
     ``change_stream_ops``/``change_stream_messages`` without a JsonFormat
     keep the engine's round-3 shape byte-for-byte (an all-payloads header
@@ -60,6 +70,32 @@ class JsonFormat:
     scn_format: int = 0
     timestamp_format: int = 0
     xid_format: int = 0
+    schema_format: int = 0
+
+
+# Spark simpleString -> the Oracle type NAME the reference renders in its
+# JSON column definitions (OutputBufferJson.cpp:270-358 maps dictionary
+# types to these names; we map back from the lake schema's Spark types)
+_SPARK_TO_ORATYPE = {
+    "string": "varchar2",
+    "int": "number", "bigint": "number", "smallint": "number",
+    "tinyint": "number", "decimal": "number", "boolean": "number",
+    "float": "binary_float", "double": "binary_double",
+    "binary": "raw", "date": "date", "timestamp": "timestamp",
+}
+
+
+def json_schema_columns_for(schema) -> list[tuple]:
+    """(name, oracle type name, nullable) triples for the JSON ``columns``
+    schema section, from a Spark StructType (the target table's payload
+    schema) — the JSON twin of protobuf's ``schema_columns_for`` (which
+    emits the ColumnType ENUM instead of the name)."""
+    out = []
+    for f in schema.fields:
+        simple = f.dataType.simpleString().split("(")[0]
+        out.append((f.name, _SPARK_TO_ORATYPE.get(simple, "unknown"),
+                    f.nullable))
+    return out
 
 
 def _header_cols(fmt: JsonFormat, have_ts: bool, first: bool) -> list:
@@ -79,7 +115,10 @@ def _header_cols(fmt: JsonFormat, have_ts: bool, first: bool) -> list:
             cols.append(F.date_format(
                 cts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("tms"))
         else:
-            cols.append(F.unix_millis(cts).alias("tm"))
+            # reference emits lastTime.toTime() * 1000 — WHOLE-SECOND
+            # granularity millis (OutputBuffer.cpp appendHeader); truncate
+            # sub-second precision to match byte-for-byte
+            cols.append((F.unix_timestamp(cts) * 1000).alias("tm"))
     if fmt.xid_format == 1:
         cols.append(F.xxhash64(F.col("xid")).alias("xidn"))
     else:
@@ -97,17 +136,32 @@ def _op_code():
 
 
 def _entry(df: DataFrame, cfg: EngineConfig, owner: str,
-           key_cols: "tuple[str, ...] | None" = None):
-    """One payload entry: {op, schema:{owner,table}, key, before?, after?}.
-    ``table``/``before`` are optional on the input (the replay plan projects
-    them away before the shuffle) — absent columns are rendered as constants
-    /omitted, matching the reference's schema-knob behavior (types.h:85-116)."""
+           key_cols: "tuple[str, ...] | None" = None,
+           fmt: "JsonFormat | None" = None,
+           schema_columns: "list[tuple] | None" = None):
+    """One payload entry: {op, schema:{owner,table[,obj][,columns]}, key,
+    before?, after?}. ``table``/``before`` are optional on the input (the
+    replay plan projects them away before the shuffle) — absent columns are
+    rendered as constants/omitted, matching the reference's schema-knob
+    behavior (types.h:85-116)."""
     table_col = (F.col("table") if "table" in df.columns
                  else F.lit(cfg.table_filter[0] if cfg.table_filter else "?"))
+    schema_fields = [F.lit(owner).alias("owner"), table_col.alias("table")]
+    if fmt is not None and (fmt.schema_format & 4):  # SCHEMA_FORMAT_OBJ
+        # JVM-side CRC32 == zlib.crc32 == protobuf's stable_obj_id
+        schema_fields.append(F.crc32(F.encode(
+            F.concat(F.lit(owner), F.lit("."), table_col), "UTF-8"
+        )).alias("obj"))
+    if (fmt is not None and (fmt.schema_format & 1)
+            and schema_columns):  # SCHEMA_FORMAT_FULL (|REPEATED)
+        schema_fields.append(F.array(*[
+            F.struct(F.lit(n).alias("name"), F.lit(t).alias("type"),
+                     F.lit(bool(nn)).alias("nullable"))
+            for n, t, nn in schema_columns
+        ]).alias("columns"))
     cols = [
         _op_code().alias("op"),
-        F.struct(F.lit(owner).alias("owner"), table_col.alias("table"))
-        .alias("schema"),
+        F.struct(*schema_fields).alias("schema"),
         F.struct(*[F.col(k) for k in (key_cols or cfg.key_cols)])
         .alias("key"),
     ]
@@ -122,6 +176,7 @@ def change_stream_ops(
     assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
     key_cols: "tuple[str, ...] | None" = None,
     fmt: "JsonFormat | None" = None,
+    schema_columns: "list[tuple] | None" = None,
 ) -> DataFrame:
     """Per-op messages ("message":0 mode) — map-only, no shuffle.
 
@@ -136,7 +191,7 @@ def change_stream_ops(
     round-3 shape (scn + op_scn + xid on every message) byte-for-byte.
     """
     kc = [k for k in (key_cols or cfg.key_cols) if k in assembled.columns]
-    entry = _entry(assembled, cfg, owner, key_cols)
+    entry = _entry(assembled, cfg, owner, key_cols, fmt, schema_columns)
     if fmt is None:
         msg = F.struct(
             F.col("commit_scn").alias("scn"),
@@ -159,6 +214,7 @@ def change_stream_brackets(
     assembled: DataFrame, cfg: EngineConfig, owner: str = "OLR",
     key_cols: "tuple[str, ...] | None" = None,
     fmt: "JsonFormat | None" = None,
+    schema_columns: "list[tuple] | None" = None,
 ) -> DataFrame:
     """Reference "message":0 SHORT mode, faithfully bracketed: each
     transaction streams as ``{header(first), payload:[{"op":"begin"}]}``,
@@ -174,7 +230,7 @@ def change_stream_brackets(
     same grouping the per-tx sink pays."""
     fmt = fmt or JsonFormat()
     have_ts = "commit_ts" in assembled.columns
-    entry = _entry(assembled, cfg, owner, key_cols)
+    entry = _entry(assembled, cfg, owner, key_cols, fmt, schema_columns)
     op_msg = F.struct(
         *_header_cols(fmt, have_ts, first=False),
         F.array(entry).alias("payload"),  # reference: "payload":[{op...}]
@@ -208,6 +264,7 @@ def change_stream_messages(
     key_cols: "tuple[str, ...] | None" = None,
     max_ops_per_message: int | None = None,
     fmt: "JsonFormat | None" = None,
+    schema_columns: "list[tuple] | None" = None,
 ) -> DataFrame:
     """Per-transaction messages ("message":1 mode): one JSON document per
     committed transaction, ops in (scn, seq) insertion order
@@ -227,7 +284,7 @@ def change_stream_messages(
     when a split budget is configured. No extra shuffle for the split:
     the chunking is an array slice + explode on the already-grouped rows.
     """
-    entry = _entry(assembled, cfg, owner, key_cols)
+    entry = _entry(assembled, cfg, owner, key_cols, fmt, schema_columns)
     have_ts = fmt is not None and "commit_ts" in assembled.columns
     gb = ["xid", "commit_scn"] + (["commit_ts"] if have_ts else [])
     per_tx = assembled.groupBy(*gb).agg(

@@ -51,6 +51,8 @@ lake in foreachBatch should prefer slim.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 
@@ -247,19 +249,30 @@ def streaming_assembly_slim(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
-# cached slim frames awaiting release: rejoin_payload is called once per
-# microbatch from foreachBatch; each call drains the previous call's cache
-# so accumulation is bounded at ONE batch's (keys-only, small) cache even
-# if the caller never releases explicitly
-_REJOIN_CACHED: list = []
+# cached slim frames awaiting release, KEYED BY FEED DIR (one streaming
+# pipeline = one feed dir): rejoin_payload is called once per microbatch
+# from foreachBatch; each call drains ITS OWN pipeline's previous frame, so
+# accumulation is bounded at one batch's (keys-only, small) cache per
+# pipeline, and two pipelines sharing a driver can no longer unpersist each
+# other's in-flight frame mid-batch (round-4 ADVICE). Lock-guarded: the
+# registry mutates from whichever thread runs the microbatch.
+_REJOIN_CACHED: dict = {}
+_REJOIN_LOCK = threading.Lock()
 
 
-def release_rejoin_cache() -> None:
-    """Unpersist any slim frames cached by ``rejoin_payload`` calls whose
-    results have been consumed (see _REJOIN_CACHED note)."""
-    while _REJOIN_CACHED:
+def release_rejoin_cache(feed_dir: "str | None" = None) -> None:
+    """Unpersist the slim frame cached for ``feed_dir`` (or ALL cached
+    frames when None) once its results have been consumed."""
+    with _REJOIN_LOCK:
+        if feed_dir is None:
+            frames = list(_REJOIN_CACHED.values())
+            _REJOIN_CACHED.clear()
+        else:
+            f = _REJOIN_CACHED.pop(feed_dir, None)
+            frames = [f] if f is not None else []
+    for f in frames:
         try:
-            _REJOIN_CACHED.pop().unpersist()
+            f.unpersist()
         except Exception:  # pragma: no cover - session already stopped
             pass
 
@@ -277,15 +290,18 @@ def rejoin_payload(spark, slim_committed: DataFrame, feed_dir: str,
     slim plan. Without bounds, the slim side is persisted for the
     duration of the call (it is keys-only, so the cache is small) so the
     min/max pre-pass does not recompute the upstream plan twice; the
-    cached handle is tracked and drained on the NEXT call (or via
-    ``release_rejoin_cache``), so per-microbatch use from foreachBatch
-    never accumulates cached partitions across batches (round-3 ADVICE)."""
+    cached handle is tracked per feed dir and drained on THIS pipeline's
+    next call (or via ``release_rejoin_cache``), so per-microbatch use from
+    foreachBatch never accumulates cached partitions across batches
+    (round-3 ADVICE) and concurrent pipelines never drain each other
+    (round-4 ADVICE)."""
     from openlogreplicator_spark.operators.decode import unnest_multirow
 
-    release_rejoin_cache()
+    release_rejoin_cache(feed_dir)
     if bounds is None:
         slim_committed = slim_committed.persist()
-        _REJOIN_CACHED.append(slim_committed)
+        with _REJOIN_LOCK:
+            _REJOIN_CACHED[feed_dir] = slim_committed
         lohi = slim_committed.agg(
             F.min("scn").alias("lo"), F.max("scn").alias("hi")).first()
         bounds = (lohi["lo"], lohi["hi"])

@@ -285,6 +285,13 @@ def test_merge_rebases_without_recompute_on_disjoint_conflict(spark, tmp_path):
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert all(got[k] == f"r{k}" for k in range(5))
     assert t.last_batch_id() == 2
+    # seq invariant under rebase (round-4 ADVICE): every entry the rebased
+    # commit wrote carries seq == the version that ACTUALLY committed, not
+    # the version the merge originally intended
+    m = t.manifest()
+    touched = set(s["buckets"])
+    assert all(e["seq"] == m["version"]
+               for e in m["files"] if e["bucket"] in touched)
 
 
 def test_merge_recomputes_on_same_bucket_conflict(spark, tmp_path):
@@ -415,3 +422,29 @@ def test_expire_spares_young_orphans(spark, tmp_path):
     r2 = t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
     assert not os.path.exists(orphan), "aged-out orphan is collected"
     assert t.read(spark).count() > 0
+
+
+def test_commit_lock_displacement_detected_before_pointer_swap(tmp_path):
+    """assert_held (round-4 ADVICE): a holder displaced by a stale-lock
+    breaker mid-critical-section must detect the loss as a CommitConflict
+    before its pointer swap, never race the usurper."""
+    import os
+
+    from openlogreplicator_spark.lake import _commit_lock
+
+    lk = _commit_lock(str(tmp_path))
+    lk.__enter__()
+    try:
+        lk.assert_held()  # still owned: no-op
+        # a breaker displaces the lock and a fresh holder re-acquires
+        os.unlink(lk.lock_path)
+        with open(lk.lock_path, "w") as f:
+            f.write("424242:usurper-token")
+        with pytest.raises(CommitConflict):
+            lk.assert_held()
+        # and the lock path gone entirely is likewise a detected loss
+        os.unlink(lk.lock_path)
+        with pytest.raises(CommitConflict):
+            lk.assert_held()
+    finally:
+        lk.__exit__(None, None, None)  # token mismatch -> no foreign unlink

@@ -1,0 +1,261 @@
+"""Mid-stream DDL propagation to the side-output tables (round-4 verdict,
+top item): a column added/widened on the primary mid-stream must reach the
+SCD2 history + open-version store IN THE SAME BATCH (post-DDL versions carry
+it), lifecycle DDL must be refused loudly while side outputs are configured
+(never silent divergence), and multi-table routed mode takes per-table side
+outputs (a bare table is a configuration error, not a silent skip).
+"""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.config import EngineConfig
+from openlogreplicator_spark.feed import (
+    CHANGE_EVENT_SCHEMA,
+    generate_change_events,
+    pandas_to_events_df,
+)
+from openlogreplicator_spark.operators.assembly import (
+    assemble_transactions_sql,
+)
+from openlogreplicator_spark.operators.scd2 import scd2_history
+from openlogreplicator_spark.plans.replay import bootstrap_target
+from openlogreplicator_spark.plans.rollup_apply import (
+    bootstrap_conversations_target,
+)
+from openlogreplicator_spark.plans.scd2_apply import (
+    bootstrap_scd2_open_target,
+    bootstrap_scd2_target,
+)
+from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+CFG = EngineConfig(num_buckets=4)
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _norm(df, extra=()):
+    pdf = df.select(
+        "conv_id", "turn_idx", "valid_from", "valid_to", "is_current",
+        "role", "text",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        *[F.col(c) for c in extra],
+    ).toPandas()
+    return (
+        pdf.sort_values(["conv_id", "turn_idx", "valid_from"])
+        .reset_index(drop=True)
+        .astype({"turn_idx": "int64", "valid_from": "int64"})
+    )
+
+
+def _one_shot(feed, payload):
+    surv = assemble_transactions_sql(
+        feed.where(F.col("op") != "DDL"), CFG
+    ).select(
+        *KEYS, "op", "scn", "seq", "xid", "commit_scn",
+        F.struct(*[F.col("after").getField(c).alias(c) for c in payload])
+        .alias("after"),
+        "cols_set",
+    )
+    return scd2_history(surv, KEYS, list(payload))
+
+
+def _ddl_row(spark, events, ddl_text, table="transcripts", scn=None):
+    if scn is None:
+        scns = sorted(r[0] for r in events.select("scn").collect())
+        scn = scns[len(scns) // 2]
+    row = spark.createDataFrame(
+        [(int(scn), 0, "ddl-x", "DDL", table, None, None, None, None,
+          [], [], None, ddl_text, None)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    return (
+        events.where(F.col("scn") != int(scn)).unionByName(row), int(scn)
+    )
+
+
+@pytest.mark.parametrize("n_chunks", [2, 4])
+def test_add_column_mid_stream_reaches_history_and_open_store(
+        spark, tmp_path, n_chunks):
+    """Feed with `ADD COLUMN meta string` + `WIDEN turn_idx bigint` DDL
+    mid-stream, applied in scn-ordered microbatches: the history and the
+    open store evolve in the DDL's batch, post-DDL versions carry real meta
+    values, and the whole history equals one-shot scd2_history with meta in
+    the payload — for every batch split."""
+    feed = generate_change_events(
+        spark, n_txs=150, n_convs=20, seed=59, with_ddl=True,
+    ).localCheckpoint()
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist,
+                             history_open_table=open_t)
+    pdf = feed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    n = len(pdf)
+    for i in range(n_chunks):
+        lo, hi = (n * i) // n_chunks, (n * (i + 1)) // n_chunks
+        pipe.process_batch(pandas_to_events_df(spark, pdf.iloc[lo:hi]), i)
+
+    got = hist.read(spark)
+    assert "meta" in got.columns
+    assert "meta" in open_t.read(spark).columns
+    # post-DDL events set meta -> present in post-DDL versions
+    assert got.where(F.col("meta").isNotNull()).count() > 0
+
+    want = _norm(_one_shot(feed, ("role", "text", "ts", "meta")),
+                 extra=("meta",))
+    pd.testing.assert_frame_equal(_norm(got, extra=("meta",)), want)
+
+    # the open store stays exactly the current versions (with meta)
+    cur = got.where("is_current").select(
+        *KEYS, "role", "text", "ts", "meta", "valid_from")
+    opn = open_t.read(spark).select(
+        *KEYS, "role", "text", "ts", "meta", "valid_from")
+    assert cur.exceptAll(opn).count() == 0
+    assert opn.exceptAll(cur).count() == 0
+
+
+def test_lifecycle_ddl_refused_with_history(spark, tmp_path):
+    """TRUNCATE arriving while an SCD2 side output is configured must refuse
+    BEFORE anything applies — the primary stays untouched (atomic batch)."""
+    feed = generate_change_events(spark, n_txs=40, n_convs=8, seed=61)
+    ev, _ = _ddl_row(spark, feed, "TRUNCATE TABLE transcripts")
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist)
+    v0 = table.current_version()
+    with pytest.raises(RuntimeError, match="TRUNCATE"):
+        pipe.process_batch(ev, 0)
+    assert table.current_version() == v0
+    assert hist.read(spark).count() == 0
+
+    # DROP TABLE likewise
+    ev2, _ = _ddl_row(spark, feed, "DROP TABLE transcripts")
+    with pytest.raises(RuntimeError, match="DROP"):
+        pipe.process_batch(ev2, 0)
+
+    # without side outputs, the same feed applies fine (existing contract)
+    table2 = bootstrap_target(str(tmp_path / "t2"), CFG)
+    pipe2 = CDCStreamPipeline(table2, CFG, str(tmp_path / "state2"))
+    pipe2.process_batch(ev, 0)
+
+
+def test_reserved_name_collision_refused(spark, tmp_path):
+    feed = generate_change_events(spark, n_txs=30, n_convs=8, seed=67)
+    ev, _ = _ddl_row(spark, feed, "ADD COLUMN valid_from bigint")
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist)
+    with pytest.raises(RuntimeError, match="valid_from"):
+        pipe.process_batch(ev, 0)
+
+
+def test_view_input_removal_refused_add_is_fine(spark, tmp_path):
+    feed = generate_change_events(spark, n_txs=40, n_convs=8, seed=71)
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    conv = bootstrap_conversations_target(str(tmp_path / "conv"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             conversations_table=conv)
+
+    ev, _ = _ddl_row(spark, feed, "RENAME COLUMN text TO body")
+    with pytest.raises(RuntimeError, match="text"):
+        pipe.process_batch(ev, 0)
+    ev2, _ = _ddl_row(spark, feed, "DROP COLUMN role")
+    with pytest.raises(RuntimeError, match="role"):
+        pipe.process_batch(ev2, 0)
+
+    # ADD COLUMN does not change the view's derived contract -> applies
+    ev3, _ = _ddl_row(spark, feed, "ADD COLUMN score bigint")
+    pipe.process_batch(ev3, 0)
+    assert "score" in table.read(spark).columns
+    assert conv.read(spark).count() > 0
+
+
+def test_routed_mode_side_output_configuration_errors(spark, tmp_path):
+    tables = {
+        "a": bootstrap_target(str(tmp_path / "a"), CFG),
+        "b": bootstrap_target(str(tmp_path / "b"), CFG),
+    }
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    # bare table in routed mode: configuration error, never a silent skip
+    with pytest.raises(ValueError, match="per-table dict"):
+        CDCStreamPipeline(tables, CFG, str(tmp_path / "s1"),
+                          history_table=hist)
+    # dict key naming no routed target
+    with pytest.raises(ValueError, match="no routed target"):
+        CDCStreamPipeline(tables, CFG, str(tmp_path / "s2"),
+                          history_table={"zzz": hist})
+    # dict in single-table mode
+    with pytest.raises(ValueError, match="multi-table"):
+        CDCStreamPipeline(tables["a"], CFG, str(tmp_path / "s3"),
+                          history_table={"a": hist})
+    # open store without its history
+    with pytest.raises(ValueError, match="history_open_table"):
+        CDCStreamPipeline(tables["a"], CFG, str(tmp_path / "s4"),
+                          history_open_table=bootstrap_scd2_open_target(
+                              str(tmp_path / "open"), CFG))
+    # sig index without the conversations view
+    from openlogreplicator_spark.plans.dedup_index import bootstrap_sig_index
+    with pytest.raises(ValueError, match="sig_index_table"):
+        CDCStreamPipeline(tables["a"], CFG, str(tmp_path / "s5"),
+                          sig_index_table=bootstrap_sig_index(
+                              str(tmp_path / "sig"), CFG))
+
+
+def test_routed_mode_per_table_history_with_ddl(spark, tmp_path):
+    """Per-table SCD2 side outputs in multi-table routed mode: each routed
+    table's history equals one-shot scd2_history over ITS slice, and a DDL
+    routed to one table evolves only that table's history/open store."""
+    cfg = EngineConfig(num_buckets=4, table_filter=None)
+    events = generate_change_events(spark, n_txs=120, n_convs=16, seed=73)
+    is_dml = F.col("op").isin("I", "U", "D")
+    routed = events.withColumn(
+        "table",
+        F.when(~is_dml, F.lit("transcripts")).otherwise(
+            F.when(F.col("scn") % 2 == 0, F.lit("transcripts"))
+            .otherwise(F.lit("notes"))
+        ),
+    )
+    routed, _ = _ddl_row(spark, routed, "ADD COLUMN meta string",
+                         table="transcripts")
+    routed = routed.localCheckpoint()
+    tables = {
+        "transcripts": bootstrap_target(str(tmp_path / "t1"), cfg),
+        "notes": bootstrap_target(str(tmp_path / "t2"), cfg),
+    }
+    hists = {
+        "transcripts": bootstrap_scd2_target(str(tmp_path / "h1"), cfg),
+        "notes": bootstrap_scd2_target(str(tmp_path / "h2"), cfg),
+    }
+    opens = {
+        "transcripts": bootstrap_scd2_open_target(str(tmp_path / "o1"), cfg),
+    }
+    pipe = CDCStreamPipeline(tables, cfg, str(tmp_path / "state"),
+                             history_table=hists,
+                             history_open_table=opens)
+    pdf = routed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    n = len(pdf)
+    for i in range(2):
+        lo, hi = (n * i) // 2, (n * (i + 1)) // 2
+        pipe.process_batch(pandas_to_events_df(spark, pdf.iloc[lo:hi]), i)
+
+    # DDL routed to transcripts evolved only transcripts' side outputs
+    assert "meta" in hists["transcripts"].read(spark).columns
+    assert "meta" in opens["transcripts"].read(spark).columns
+    assert "meta" not in hists["notes"].read(spark).columns
+
+    for name in ("transcripts", "notes"):
+        slice_ = routed.where(
+            ~F.col("op").isin("I", "U", "D") | (F.col("table") == name))
+        payload = (("role", "text", "ts", "meta")
+                   if name == "transcripts" else ("role", "text", "ts"))
+        extra = ("meta",) if name == "transcripts" else ()
+        want = _norm(_one_shot(slice_, payload), extra=extra)
+        got = _norm(hists[name].read(spark), extra=extra)
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want)

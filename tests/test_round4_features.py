@@ -76,7 +76,8 @@ def test_json_format_knobs(spark):
     m2 = json.loads(change_stream_ops(one, CFG, fmt=JsonFormat())
                     .first()["value"])
     assert m2["scn"] == r["commit_scn"]
-    assert m2["tm"] == r["commit_ts"].timestamp() * 1000 // 1 or m2["tm"] > 0
+    # whole-second granularity millis (reference: lastTime.toTime() * 1000)
+    assert m2["tm"] == int(r["commit_ts"].timestamp()) * 1000
     assert m2["xid"] == r["xid"]
 
 
@@ -210,7 +211,8 @@ def test_protobuf_format_knobs_and_schema_detail(spark):
         assert m["scns"] == "%016x" % r["commit_scn"] and m["scn"] is None
         assert m["xidn"] is not None and m["xid"] is None
         want_tm = src_ts[(r["commit_scn"], r["xid"])]
-        assert m["tm"] == int(want_tm.timestamp() * 1000)
+        # whole-second millis, matching the reference's second-granularity
+        assert m["tm"] == int(want_tm.timestamp()) * 1000
         for p in m["payloads"]:
             if p["op"] in ("I", "U", "D"):
                 assert p["obj"] == stable_obj_id("OLR", p["schema"][1])

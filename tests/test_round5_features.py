@@ -1,0 +1,161 @@
+"""Round-5 features:
+
+  * JSON schema/column-definition format knobs (the reference's
+    SCHEMA_FORMAT_FULL/OBJ bits rendered by OutputBufferJson.cpp:226-372) —
+    defaults byte-identical to round 4;
+  * SCD2 side-output on a merge-on-read history table: batch-split
+    equivalence with compaction mid-sequence (round-4 verdict item 8).
+"""
+
+import json
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.config import EngineConfig
+from openlogreplicator_spark.feed import generate_change_events
+from openlogreplicator_spark.operators.assembly import (
+    assemble_transactions_sql,
+)
+from openlogreplicator_spark.operators.scd2 import scd2_history
+from openlogreplicator_spark.plans.scd2_apply import (
+    apply_scd2_batch,
+    bootstrap_scd2_open_target,
+    bootstrap_scd2_target,
+)
+from openlogreplicator_spark.sinks import (
+    JsonFormat,
+    change_stream_messages,
+    change_stream_ops,
+    json_schema_columns_for,
+)
+from openlogreplicator_spark.sinks.protobuf_stream import stable_obj_id
+
+CFG = EngineConfig(num_buckets=4)
+PAYLOAD = ("role", "text", "ts")
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _surv(spark, seed=31, n_txs=60):
+    feed = generate_change_events(spark, n_txs=n_txs, n_convs=10, seed=seed)
+    return assemble_transactions_sql(feed, CFG)
+
+
+# ------------------------------------------------- JSON schema format knobs
+
+def test_json_schema_column_defs_and_obj(spark):
+    from openlogreplicator_spark.feed import TRANSCRIPTS_SCHEMA
+
+    surv = _surv(spark).limit(5)
+    cols = json_schema_columns_for(TRANSCRIPTS_SCHEMA)
+    assert ("conv_id", "varchar2", False) in cols
+    assert ("turn_idx", "number", False) in cols
+    assert ("ts", "timestamp", True) in cols
+
+    fmt = JsonFormat(schema_format=5)  # FULL | OBJ
+    rows = change_stream_ops(surv, CFG, fmt=fmt,
+                             schema_columns=cols).collect()
+    assert rows
+    for r in rows:
+        m = json.loads(r["value"])
+        sch = m["payload"]["schema"]
+        assert sch["owner"] == "OLR"
+        # obj identical to the protobuf side's stable id (same CRC32)
+        assert sch["obj"] == stable_obj_id("OLR", sch["table"])
+        got = [(c["name"], c["type"], c["nullable"]) for c in sch["columns"]]
+        assert got == cols
+
+    # OBJ alone: obj but no columns
+    m = json.loads(change_stream_ops(
+        surv, CFG, fmt=JsonFormat(schema_format=4)).first()["value"])
+    sch = m["payload"]["schema"]
+    assert "obj" in sch and "columns" not in sch
+
+    # per-transaction mode carries the same schema section per op
+    m = json.loads(change_stream_messages(
+        surv, CFG, fmt=fmt, schema_columns=cols).first()["value"])
+    for p in m["payload"]:
+        assert p["schema"]["obj"] == stable_obj_id("OLR",
+                                                   p["schema"]["table"])
+        assert len(p["schema"]["columns"]) == len(cols)
+
+
+def test_json_schema_defaults_unchanged(spark):
+    """Without schema_format the schema section stays {owner, table} —
+    the cdc_json_stream / cdc_json_brackets oracle rows depend on it."""
+    surv = _surv(spark).limit(3)
+    for fmt in (None, JsonFormat()):
+        m = json.loads(change_stream_ops(surv, CFG, fmt=fmt)
+                       .first()["value"])
+        assert set(m["payload"]["schema"]) == {"owner", "table"}
+
+
+# --------------------------------------------------- SCD2 on merge-on-read
+
+def _norm(df):
+    pdf = df.select(
+        "conv_id", "turn_idx", "valid_from", "valid_to", "is_current",
+        "role", "text",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    ).toPandas()
+    return (
+        pdf.sort_values(["conv_id", "turn_idx", "valid_from"])
+        .reset_index(drop=True)
+        .astype({"turn_idx": "int64", "valid_from": "int64"})
+    )
+
+
+def _assembled(spark, seed):
+    surv = _surv(spark, seed=seed, n_txs=200)
+    return surv.select(
+        *KEYS, "op", "scn", "seq", "xid", "commit_scn",
+        F.struct(*[F.col("after").getField(c).alias(c) for c in PAYLOAD])
+        .alias("after"),
+        "cols_set",
+    )
+
+
+@pytest.mark.parametrize("compact_between", [False, True])
+def test_scd2_on_mor_history_batch_split(spark, tmp_path, compact_between):
+    """History + open store as merge-on-read tables: three-way batch split
+    equals one-shot scd2_history, with a compaction folded in mid-sequence
+    (round-4 verdict item 8 — MoR tests covered the primary only)."""
+    surv = _assembled(spark, seed=41).localCheckpoint()
+    want = _norm(scd2_history(surv, KEYS, list(PAYLOAD)))
+
+    qs = surv.approxQuantile("commit_scn", [0.33, 0.66], 0.0)
+    cuts = [int(q) for q in qs]
+    parts = [
+        surv.where(F.col("commit_scn") <= cuts[0]),
+        surv.where((F.col("commit_scn") > cuts[0])
+                   & (F.col("commit_scn") <= cuts[1])),
+        surv.where(F.col("commit_scn") > cuts[1]),
+    ]
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG,
+                                 write_mode="mor")
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG,
+                                        write_mode="mor")
+    assert hist.write_mode == "mor" and open_t.write_mode == "mor"
+    for i, p in enumerate(parts):
+        apply_scd2_batch(spark, p, hist, CFG, batch_id=i + 1,
+                         open_table=open_t)
+        if compact_between and i == 1:
+            hist.compact(spark)
+            open_t.compact(spark)
+
+    got = _norm(hist.read(spark))
+    pd.testing.assert_frame_equal(got, want)
+    # delete files really existed on the MoR path at some point
+    kinds = {s["summary"].get("operation") for s in hist.snapshots()}
+    assert "merge" in kinds
+    # open store == current versions after the MoR resolve
+    cur = hist.read(spark).where("is_current").select(*KEYS, "valid_from")
+    opn = open_t.read(spark).select(*KEYS, "valid_from")
+    assert cur.exceptAll(opn).count() == 0
+    assert opn.exceptAll(cur).count() == 0
+    # retry of the last batch id is skipped on both tables
+    s = apply_scd2_batch(spark, parts[-1], hist, CFG, batch_id=3,
+                         open_table=open_t)
+    assert s.get("skipped")
