@@ -39,6 +39,8 @@ import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass
 
+import numpy as np
+
 from pyspark.sql import DataFrame, functions as F
 
 from openlogreplicator_spark.config import EngineConfig
@@ -142,6 +144,19 @@ def _vint(field: int, n: int) -> bytes:
     return _tag(field, 0) + _varint(n)
 
 
+# Value.name prefixes recur for every row of a batch (key + cols_set names
+# draw from the table schema), so the encoded ``_ld(1, name)`` block is
+# memoized — bounded by distinct column names seen by this worker
+_NAME_PREFIX: dict = {}
+
+
+def _name_prefix(name: str) -> bytes:
+    p = _NAME_PREFIX.get(name)
+    if p is None:
+        p = _NAME_PREFIX[name] = _ld(1, name.encode("utf-8"))
+    return p
+
+
 def _value(name: str, v) -> bytes:
     """One ``Value`` message: name + oneof datum by python type (mirrors
     OutputBufferProtobuf.cpp:49-99 valueInt/valueDouble/valueString).
@@ -154,24 +169,22 @@ def _value(name: str, v) -> bytes:
     the round-3 encoder wrongly suppressed 0, "", and b"" here, turning
     them into NULLs on the wire (silent data corruption for any consumer
     honoring oneof presence). Only a true NULL column is name-only."""
-    import numpy as np
-
-    out = _ld(1, name.encode("utf-8"))
+    out = _name_prefix(name)
     if v is None:
         return out  # name-only: NULL column (reference columnNull, :48-53)
+    if type(v) is str:  # fast path: the dominant datum type in transcripts
+        return out + _ld(5, v.encode("utf-8"))  # oneof: "" is emitted
     if isinstance(v, (bool, np.bool_, int, np.integer)):
-        out += _vint(2, int(v))  # oneof: 0 and False are emitted
-    elif isinstance(v, (float, np.floating)):
+        return out + _vint(2, int(v))  # oneof: 0 and False are emitted
+    if isinstance(v, (float, np.floating)):
         if v != v:  # NaN -> NULL column
             return out
-        out += _tag(4, 1) + struct.pack("<d", float(v))  # value_double
-    elif isinstance(v, (bytes, bytearray)):
-        out += _ld(6, bytes(v))  # oneof: empty bytes are emitted
-    else:
-        if v != v:  # pandas NaT (null timestamp inside an Arrow struct)
-            return out
-        out += _ld(5, str(v).encode("utf-8"))  # oneof: "" is emitted
-    return out
+        return out + _tag(4, 1) + struct.pack("<d", float(v))  # value_double
+    if isinstance(v, (bytes, bytearray)):
+        return out + _ld(6, bytes(v))  # oneof: empty bytes are emitted
+    if v != v:  # pandas NaT (null timestamp inside an Arrow struct)
+        return out
+    return out + _ld(5, str(v).encode("utf-8"))  # oneof: "" is emitted
 
 
 def _schema_msg(owner: str, table: str, obj: int | None = None,
@@ -189,19 +202,23 @@ def _schema_msg(owner: str, table: str, obj: int | None = None,
     return out
 
 
+# Payload.op prefixes are one of six constants (BEGIN=0 suppressed by
+# proto3 zero-default rules — op is NOT inside a oneof)
+_OP_PREFIX = {e: (b"" if e == 0 else _tag(1, 0) + _varint(e))
+              for e in _OP_ENUM.values()}
+
+
 def _payload_msg(op_enum: int, schema: bytes | None,
                  before: list[bytes] = (), after: list[bytes] = (),
                  ddl: str | None = None) -> bytes:
-    out = b"" if op_enum == 0 else _vint(1, op_enum)  # BEGIN=0 suppressed
+    parts = [_OP_PREFIX[op_enum]]
     if schema is not None:
-        out += _ld(2, schema)
-    for v in before:
-        out += _ld(4, v)
-    for v in after:
-        out += _ld(5, v)
+        parts.append(_ld(2, schema))
+    parts += [_ld(4, v) for v in before]
+    parts += [_ld(5, v) for v in after]
     if ddl:
-        out += _ld(6, ddl.encode("utf-8"))
-    return out
+        parts.append(_ld(6, ddl.encode("utf-8")))
+    return b"".join(parts)
 
 
 def _response(scn: int, xid: str, payloads: list[bytes],
@@ -212,25 +229,30 @@ def _response(scn: int, xid: str, payloads: list[bytes],
     # legitimate resume point — is emitted, never collapsed to "no scn".
     # Fields pack in field-number order, matching the stock serializer:
     # code(1), scn(2)|scns(3), tm(4)|tms(5), xid(6)|xidn(7), payload(8).
-    out = _vint(1, _PAYLOAD_CODE)
+    parts = [_vint(1, _PAYLOAD_CODE)]
     if scns is not None:
-        out += _ld(3, scns.encode("utf-8"))
+        parts.append(_ld(3, scns.encode("utf-8")))
     else:
-        out += _vint(2, int(scn))
+        parts.append(_vint(2, int(scn)))
     if tm is not None:
-        out += _vint(4, int(tm))
+        parts.append(_vint(4, int(tm)))
     elif tms is not None:
-        out += _ld(5, tms.encode("utf-8"))
+        parts.append(_ld(5, tms.encode("utf-8")))
     if xidn is not None:
-        out += _vint(7, int(xidn))
+        parts.append(_vint(7, int(xidn)))
     else:
-        out += _ld(6, str(xid).encode("utf-8"))
-    for p in payloads:
-        out += _ld(8, p)
-    return out
+        parts.append(_ld(6, str(xid).encode("utf-8")))
+    parts += [_ld(8, p) for p in payloads]
+    return b"".join(parts)
 
 
 # ------------------------------------------------------- dataframe operators
+
+# encoded Schema messages are constant per (owner, table, obj, columns) —
+# memoized so the per-row hot loop never re-encodes them (bounded by the
+# distinct tables this worker streams)
+_SCHEMA_CACHE: dict = {}
+
 
 def _op_payload(row_op: str, owner: str, table: str, key: dict,
                 after: dict, cols_set, obj: int | None = None,
@@ -239,7 +261,12 @@ def _op_payload(row_op: str, owner: str, table: str, key: dict,
     key + every column named in cols_set; DELETE carries the key as
     ``before`` (the reference's delete emits before-images,
     OutputBufferProtobuf.cpp:541-560)."""
-    schema = _schema_msg(owner, table, obj=obj, columns=columns)
+    ck = (owner, table, obj,
+          None if columns is None else tuple(map(tuple, columns)))
+    schema = _SCHEMA_CACHE.get(ck)
+    if schema is None:
+        schema = _SCHEMA_CACHE[ck] = _schema_msg(
+            owner, table, obj=obj, columns=columns)
     kv = [_value(k, v) for k, v in key.items()]
     if row_op == "D":
         return _payload_msg(_OP_ENUM["D"], schema, before=kv)
@@ -267,7 +294,9 @@ def _hdr_select_cols(assembled: DataFrame, fmt: "ProtoFormat | None") -> list:
             cols.append(F.date_format(
                 cts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("htms"))
         else:
-            cols.append(F.unix_millis(cts).alias("htm"))
+            # whole-second-granularity millis like the reference's
+            # lastTime.toTime() * 1000 (same note as json_stream.py)
+            cols.append((F.unix_timestamp(cts) * 1000).alias("htm"))
     if fmt.xid_format == 1:
         cols.append(F.xxhash64(F.col("xid")).alias("hxidn"))
     return cols
