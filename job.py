@@ -73,6 +73,23 @@ def main(argv: list[str]) -> None:
     p.add_argument("--compact-every", type=int)
     args = p.parse_args(argv)
 
+    if args.mode == "replay":
+        # side outputs are maintained by the streaming pipeline's per-batch
+        # hooks; accepting these here and doing nothing would look like a
+        # successful run with silently-missing tables (same contract as the
+        # pipeline's own refuse-at-construction rule). Checked before the
+        # Spark session builds — fail in milliseconds, not after JVM warmup.
+        ignored = [
+            f for f, v in (("--history-dir", args.history_dir),
+                           ("--history-open-dir", args.history_open_dir),
+                           ("--conversations-dir", args.conversations_dir),
+                           ("--change-stream-dir", args.change_stream_dir))
+            if v
+        ]
+        if ignored:
+            p.error(f"{' '.join(ignored)}: side outputs run in stream "
+                    "mode only (replay is the bounded primary-table path)")
+
     from openlogreplicator_spark.config import EngineConfig
     from openlogreplicator_spark.feed import generate_change_events
     from openlogreplicator_spark.lake import LakeTable
