@@ -259,3 +259,61 @@ def test_routed_mode_per_table_history_with_ddl(spark, tmp_path):
         got = _norm(hists[name].read(spark), extra=extra)
         assert len(got) > 0
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_crash_between_primary_and_history_with_ddl(spark, tmp_path):
+    """Process dies AFTER the primary merge (DDL already applied +
+    propagated) but BEFORE the history merge, in the very batch carrying
+    an ADD COLUMN. The retried batch id must skip the primary by its
+    write-audit, re-propagate the (idempotent) DDL, land the history +
+    open-store merges, and converge to the one-shot history."""
+    feed = generate_change_events(
+        spark, n_txs=100, n_convs=16, seed=79,
+    ).localCheckpoint()
+    pdf = feed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    n = len(pdf)
+    half_scn = int(pdf.iloc[n // 2]["scn"])
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist,
+                             history_open_table=open_t)
+
+    b0 = pandas_to_events_df(spark, pdf[pdf.scn <= half_scn])
+    pipe.process_batch(b0, 0)
+
+    # batch 1 = second half + an injected ADD COLUMN at its median scn
+    rest = pandas_to_events_df(spark, pdf[pdf.scn > half_scn])
+    b1, _ = _ddl_row(spark, rest, "ADD COLUMN meta string")
+    b1 = b1.localCheckpoint()
+
+    orig = hist.merge
+    hist.merge = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash before history merge"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.process_batch(b1, 1)
+    hist.merge = orig
+    # primary landed (with meta): DDL-sliced merges carry composite ids
+    # (batch_id * 1024 + sub, plans/replay.py)
+    assert table.last_batch_id() // 1024 == 1
+    assert "meta" in table.read(spark).columns
+    assert hist.last_batch_id() == 0    # history merge did not
+    # the DDL PROPAGATION (pre-merge) already evolved the history schema
+    assert "meta" in hist.read(spark).columns
+
+    # retry of the same batch id converges
+    pipe.process_batch(b1, 1)
+    assert hist.last_batch_id() == 1 and open_t.last_batch_id() == 1
+
+    full = feed.where(F.col("scn") <= half_scn).unionByName(b1)
+    want = _norm(_one_shot(
+        full.where(F.col("op") != "DDL"), ("role", "text", "ts", "meta")),
+        extra=("meta",))
+    pd.testing.assert_frame_equal(_norm(hist.read(spark), extra=("meta",)),
+                                  want)
+    cur = hist.read(spark).where("is_current").select(*KEYS, "valid_from")
+    opn = open_t.read(spark).select(*KEYS, "valid_from")
+    assert cur.exceptAll(opn).count() == 0
+    assert opn.exceptAll(cur).count() == 0

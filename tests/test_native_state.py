@@ -359,3 +359,35 @@ def test_slim_assembly_equals_full_including_payload(spark, tmp_path):
     # bounded form never caches
     rejoin_payload(spark, slim, feed_dir, bounds=(0, 10))
     assert not ns._REJOIN_CACHED
+
+
+def test_rejoin_cache_scoped_per_feed_dir():
+    """Two pipelines in one driver (round-4 ADVICE): releasing one feed
+    dir's cached slim frame must not unpersist the other's in-flight
+    frame; a bare release drains everything."""
+    from openlogreplicator_spark.streaming import native_state as ns
+
+    class Stub:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    a, b = Stub(), Stub()
+    with ns._REJOIN_LOCK:
+        saved = dict(ns._REJOIN_CACHED)
+        ns._REJOIN_CACHED.clear()
+    try:
+        ns._REJOIN_CACHED["feedA"] = a
+        ns._REJOIN_CACHED["feedB"] = b
+        ns.release_rejoin_cache("feedA")
+        assert a.unpersisted and not b.unpersisted
+        assert list(ns._REJOIN_CACHED) == ["feedB"]
+        ns.release_rejoin_cache("feedA")  # absent key: no-op
+        assert not b.unpersisted
+        ns.release_rejoin_cache()  # None: drain ALL
+        assert b.unpersisted and not ns._REJOIN_CACHED
+    finally:
+        with ns._REJOIN_LOCK:
+            ns._REJOIN_CACHED.clear()
+            ns._REJOIN_CACHED.update(saved)
