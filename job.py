@@ -132,6 +132,10 @@ def main(argv: list[str]) -> None:
 
         if not (args.feed_dir and args.checkpoint and args.state_dir):
             p.error("stream mode requires --feed-dir --checkpoint --state-dir")
+        if args.history_open_dir and not args.history_dir:
+            # same silently-missing-table contract as the replay guard: the
+            # open store only rides along with its history
+            p.error("--history-open-dir requires --history-dir")
         table = (
             LakeTable(args.target)
             if LakeTable.exists(args.target)

@@ -70,6 +70,26 @@ def _atomic_write(path: str, payload: str) -> None:
     os.rename(tmp, path)  # atomic on POSIX
 
 
+def _atomic_write_exclusive(path: str, payload: str) -> bool:
+    """Atomic write that FAILS (returns False) when ``path`` already exists:
+    os.link raises EEXIST instead of clobbering like rename. Manifest files
+    use this so two same-version commit attempts can never silently
+    overwrite each other — the loser sees False and resolves under the lock
+    (_commit), the way a conditional PUT behaves on an object store."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 class CommitConflict(Exception):
     """Another writer committed since this operation read its base
     snapshot (Iceberg CommitFailedException analog). Retry against the
@@ -448,17 +468,36 @@ class LakeTable:
         same role is played by a conditional PUT."""
         v = manifest["version"]
         with _commit_lock(self.path) as lk:
-            if os.path.exists(os.path.join(self.path, _POINTER)):
+            have_ptr = os.path.exists(os.path.join(self.path, _POINTER))
+            if have_ptr:
                 cur = self.current_version()
                 parent = manifest.get("parent")
                 if parent is not None and cur != parent:
                     raise CommitConflict(
                         f"table advanced to v{cur} since v{parent} was read"
                     )
-            _atomic_write(
-                os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json"),
-                json.dumps(manifest),
-            )
+            # ownership re-check BEFORE the manifest write: a holder the
+            # stale-lock breaker displaced mid-compute must never clobber a
+            # usurper's same-version manifest (round-5 review finding —
+            # the post-write check alone left the write itself unfenced)
+            lk.assert_held()
+            mpath = os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json")
+            payload = json.dumps(manifest)
+            if not _atomic_write_exclusive(mpath, payload):
+                # v{v}.json already exists. Committed (pointer >= v): a
+                # same-version race we lost — conflict, retry on fresh
+                # state. Uncommitted: an orphan of a crashed or displaced
+                # attempt; ONLY the verified current holder may replace it
+                # (a displaced holder fails assert_held here, so it can
+                # never unlink the live usurper's in-flight manifest).
+                if have_ptr and self.current_version() >= v:
+                    raise CommitConflict(
+                        f"manifest v{v} committed by a concurrent writer")
+                lk.assert_held()
+                os.unlink(mpath)
+                if not _atomic_write_exclusive(mpath, payload):
+                    raise CommitConflict(
+                        f"manifest v{v} recreated concurrently")
             # last-instant ownership re-check (see assert_held): a holder
             # displaced by the breaker's residual race aborts as a conflict
             # here, never racing its pointer swap against the usurper's
@@ -1421,7 +1460,11 @@ class LakeTable:
         is exactly Iceberg's initial-default vs write-default split."""
         m = dict(self.manifest())
         cur = StructType.fromJson(m["schema"])
-        if name in [f.name for f in cur.fields]:
+        # case-INSENSITIVE duplicate check: Spark resolves column references
+        # case-insensitively by default, so a schema holding both 'meta' and
+        # 'META' makes every F.col('meta') an AMBIGUOUS_REFERENCE — a
+        # case-variant re-ADD is the same idempotent no-op as an exact one
+        if name.lower() in [f.name.lower() for f in cur.fields]:
             return
         new_schema = StructType(cur.fields).add(name, spark_type, True)
         fids = dict(self._fids(m, m["schema_id"]))
@@ -1459,11 +1502,14 @@ class LakeTable:
             raise ValueError(f"cannot rename merge-key column {old!r}")
         cur = StructType.fromJson(m["schema"])
         names = [f.name for f in cur.fields]
+        # case-insensitive like alter_add_column: a rename onto a
+        # case-variant of an existing column would make both unresolvable
+        lnames = [n.lower() for n in names]
         if old not in names:
-            if new in names:
+            if new.lower() in lnames:
                 return  # idempotent retry
             raise ValueError(f"no such column {old!r}")
-        if new in names:
+        if new.lower() in lnames:
             raise ValueError(f"column {new!r} already exists")
         fields = [
             f.__class__(new, f.dataType, f.nullable) if f.name == old else f

@@ -131,16 +131,23 @@ def classify_ddl(ddl: str) -> str:
       'truncate'   — TRUNCATE [TABLE|PARTITION] (lifecycle, type 85/86)
       'drop_table' — DROP [TABLE] (lifecycle, type 12)
       'other'      — unknown verbs (log-and-skip everywhere)
+
+    Applicability mirrors _apply_ddl exactly: an ADD/WIDEN with an unknown
+    type token, or a malformed RENAME, is 'other' — _apply_ddl would
+    log-and-skip it, so the side-output preflight must never refuse a
+    batch over a DDL the primary itself treats as a no-op (a no-op DDL
+    must not brick the stream).
     """
     parts = ddl.strip().split()
     kind = parts[0].upper() if parts else ""
     unit = parts[1].upper() if len(parts) > 1 else ""
     if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
-        return "column"
+        return "column" if _spark_type(parts[3]) is not None else "other"
     if kind == "WIDEN" and len(parts) >= 3:
-        return "column"
+        return "column" if _spark_type(parts[2]) is not None else "other"
     if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
-        return "column"
+        args = [p for p in parts[2:] if p.upper() != "TO"]
+        return "column" if len(args) == 2 else "other"
     if kind == "DROP" and unit == "COLUMN" and len(parts) >= 3:
         return "column"
     if kind == "TRUNCATE" and unit in ("", "TABLE", "PARTITION"):
@@ -182,29 +189,6 @@ def ddl_removed_columns(ddl: str) -> tuple[str, ...]:
         if len(args) == 2:
             return (args[0],)
     return ()
-
-
-def propagate_column_ddls(ddls: list[tuple[int, str]],
-                          tables: list[LakeTable]) -> None:
-    """Apply the batch's payload-column DDLs (ADD/WIDEN/RENAME/DROP COLUMN)
-    to payload-carrying side-output tables — the SCD2 history and its
-    open-version store evolve IN THE SAME BATCH as the primary target, so a
-    column added mid-stream appears in every post-DDL version row instead
-    of being silently filtered out (round-4 verdict, top item). Every alter
-    is idempotent (retried ADD/WIDEN/RENAME/DROP are no-ops), so a replayed
-    batch re-propagates safely regardless of where the previous attempt
-    died. Lifecycle verbs never reach here — the pipeline refuses them at
-    batch preflight when side outputs are configured.
-
-    ADD COLUMN ... DEFAULT propagates the Iceberg initial-default too:
-    version rows written BEFORE the column read the default, mirroring the
-    primary's own read-time semantics (lake.py alter_add_column).
-    """
-    for _scn, txt in sorted(ddls):
-        if classify_ddl(txt) != "column":
-            continue
-        for t in tables:
-            _apply_ddl(t, txt)
 
 
 def _spark_type(name: str):

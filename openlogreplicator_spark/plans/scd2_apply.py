@@ -55,10 +55,10 @@ from openlogreplicator_spark.lake import LakeTable
 from openlogreplicator_spark.operators.scd2 import scd2_history
 
 # SCD2 bookkeeping columns: everything else in the history schema is key or
-# payload. The pipeline derives the per-batch payload set from the history
-# table's CURRENT schema minus these minus the key, so mid-stream ADD/RENAME
-# COLUMN (propagated by plans.replay.propagate_column_ddls) enters version
-# rows the same batch it lands on the primary.
+# payload. apply_scd2_batch_sliced derives each slice's payload set from the
+# history table's CURRENT schema minus these minus the key, so mid-stream
+# ADD/RENAME COLUMN enters version rows the same batch — and the same scn
+# slice — it lands on the primary.
 SCD2_META_COLS = ("valid_from", "valid_to", "is_current")
 
 
@@ -141,6 +141,71 @@ def bootstrap_scd2_open_target(
         num_buckets=cfg.num_buckets,
         write_mode=write_mode,
     )
+
+
+def apply_scd2_batch_sliced(
+    spark: SparkSession,
+    assembled: DataFrame,
+    ddls: "list[tuple[int, str]] | None",
+    history: LakeTable,
+    cfg: EngineConfig,
+    batch_id: int,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    open_table: "LakeTable | None" = None,
+) -> list[dict]:
+    """Apply one batch to the SCD2 history, interleaving column DDL by scn —
+    the SAME slicing the primary merge does (plans/replay.py
+    apply_committed), so history version rows for events BEFORE a mid-batch
+    DDL are written under the pre-DDL schema and events after under the
+    evolved one. Without slicing, an `ADD COLUMN ... DEFAULT d` mid-batch
+    diverges: the primary's pre-DDL files predate the alter and read the
+    initial-default, while an up-front-evolved history would write explicit
+    NULLs for the same events (round-5 review finding). Slicing makes the
+    history's files predate its own alter identically.
+
+    Composite batch ids mirror the primary exactly (batch_id * 1024 + sub,
+    ALWAYS composite so ids stay monotonic across DDL-free and DDL-carrying
+    batches); each slice is an ordinary apply_scd2_batch, so crash-replay
+    inherits the pinned per-slice semantics (write-audit skip + open-store
+    catch-up). Only idempotent column alters are applied here — lifecycle
+    verbs are refused at pipeline preflight — so retried slices re-apply
+    their DDL safely. Payload columns are re-derived from the history's
+    CURRENT schema after each alter.
+    """
+    from openlogreplicator_spark.plans.replay import _apply_ddl, classify_ddl
+
+    kc = list(key_cols)
+    col_ddls = sorted(
+        (scn, txt) for scn, txt in (ddls or [])
+        if classify_ddl(txt) == "column"
+    )
+    bounds: list[tuple[int | None, int | None]] = []
+    lo = None
+    for scn, _txt in col_ddls:
+        bounds.append((lo, scn))
+        lo = scn
+    bounds.append((lo, None))
+
+    summaries: list[dict] = []
+    for sub, (lo, hi) in enumerate(bounds):
+        if sub > 0:
+            for t in (history, open_table):
+                if t is not None:
+                    _apply_ddl(t, col_ddls[sub - 1][1])
+        payload = tuple(
+            f.name for f in history.schema().fields
+            if f.name not in SCD2_META_COLS and f.name not in kc
+        )
+        part = assembled
+        if lo is not None:
+            part = part.where(F.col("commit_scn") > lo)
+        if hi is not None:
+            part = part.where(F.col("commit_scn") <= hi)
+        summaries.append(apply_scd2_batch(
+            spark, part, history, cfg, batch_id * 1024 + sub,
+            payload_cols=payload, key_cols=key_cols, open_table=open_table,
+        ))
+    return summaries
 
 
 def apply_scd2_batch(

@@ -75,14 +75,14 @@ class JsonFormat:
 
 # Spark simpleString -> the Oracle type NAME the reference renders in its
 # JSON column definitions (OutputBufferJson.cpp:270-358 maps dictionary
-# types to these names; we map back from the lake schema's Spark types)
-_SPARK_TO_ORATYPE = {
-    "string": "varchar2",
-    "int": "number", "bigint": "number", "smallint": "number",
-    "tinyint": "number", "decimal": "number", "boolean": "number",
-    "float": "binary_float", "double": "binary_double",
-    "binary": "raw", "date": "date", "timestamp": "timestamp",
-}
+# types to these names; we map back from the lake schema's Spark types).
+# Derived from the ONE shared dispatch table so the JSON and protobuf
+# sinks can never drift on a type.
+from openlogreplicator_spark.sinks.protobuf_stream import (  # noqa: E402
+    _SPARK_TO_ORACLE,
+)
+
+_SPARK_TO_ORATYPE = {k: v[0] for k, v in _SPARK_TO_ORACLE.items()}
 
 
 def json_schema_columns_for(schema) -> list[tuple]:

@@ -50,20 +50,25 @@ from openlogreplicator_spark.config import EngineConfig
 _PAYLOAD_CODE = 5  # ResponseCode.PAYLOAD
 _OP_ENUM = {"BEGIN": 0, "COMMIT": 1, "I": 2, "U": 3, "D": 4, "DDL": 5}
 
-# OraProtoBuf.proto ColumnType enum values, keyed by Spark simpleString
-_SPARK_TO_COLTYPE = {
-    "string": 1,     # VARCHAR2
-    "int": 2,        # NUMBER
-    "bigint": 2,     # NUMBER
-    "smallint": 2,
-    "decimal": 2,
-    "boolean": 2,    # NUMBER(1)
-    "float": 9,      # BINARY_FLOAT
-    "double": 10,    # BINARY_DOUBLE
-    "binary": 5,     # RAW
-    "date": 4,       # DATE
-    "timestamp": 13,  # TIMESTAMP
+# Spark simpleString -> (Oracle type NAME as the reference's JSON schema
+# renders it, OraProtoBuf ColumnType enum value). ONE dispatch shared by
+# both wire formats — json_stream derives its name map from this table, so
+# the two sinks can never drift on a type (round-5 review finding).
+_SPARK_TO_ORACLE = {
+    "string": ("varchar2", 1),       # VARCHAR2
+    "int": ("number", 2),            # NUMBER
+    "bigint": ("number", 2),
+    "smallint": ("number", 2),
+    "tinyint": ("number", 2),
+    "decimal": ("number", 2),
+    "boolean": ("number", 2),        # NUMBER(1)
+    "float": ("binary_float", 9),    # BINARY_FLOAT
+    "double": ("binary_double", 10),  # BINARY_DOUBLE
+    "binary": ("raw", 5),            # RAW
+    "date": ("date", 4),             # DATE
+    "timestamp": ("timestamp", 13),  # TIMESTAMP
 }
+_SPARK_TO_COLTYPE = {k: v[1] for k, v in _SPARK_TO_ORACLE.items()}
 
 
 @dataclass(frozen=True)

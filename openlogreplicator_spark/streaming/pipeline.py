@@ -198,14 +198,18 @@ class CDCStreamPipeline:
                     "output (or pre-process the feed) to proceed.")
             if kind != "column":
                 continue
+            # case-INSENSITIVE comparisons throughout: Spark resolves
+            # column references case-insensitively by default, so
+            # 'VALID_FROM' collides with 'valid_from' just as surely
             newc = ddl_introduced_column(txt)
-            if hist is not None and newc in SCD2_META_COLS:
+            if (hist is not None and newc is not None
+                    and newc.lower() in SCD2_META_COLS):
                 raise RuntimeError(
                     f"DDL {txt!r} refused: column name {newc!r} collides "
                     "with the SCD2 history's bookkeeping columns "
                     f"{SCD2_META_COLS}; the history could never carry it.")
             if conv is not None:
-                gone = set(ddl_removed_columns(txt)) & set(
+                gone = {c.lower() for c in ddl_removed_columns(txt)} & set(
                     self._VIEW_INPUT_COLS)
                 if gone:
                     raise RuntimeError(
@@ -218,18 +222,13 @@ class CDCStreamPipeline:
                             batch_id: int, summaries: list) -> None:
         """Maintain this table's configured side outputs for one batch,
         AFTER its primary merge (rollups read post-merge state). Column DDL
-        the primary applied this batch is propagated to the history + open
-        store FIRST, so the batch's own post-DDL events land in evolved
-        version rows (all alters are idempotent — replay-safe)."""
+        the primary applied this batch reaches the history + open store
+        through the SAME scn-sliced interleaving the primary merge used
+        (apply_scd2_batch_sliced), so pre-DDL events of the DDL's own batch
+        land under the pre-DDL schema on both sides — identical
+        initial-default and rename semantics, no divergence."""
         hist = self.history_tables.get(tname)
         open_t = self.history_open_tables.get(tname)
-        if ddls and hist is not None:
-            from openlogreplicator_spark.plans.replay import (
-                propagate_column_ddls,
-            )
-
-            propagate_column_ddls(
-                ddls, [t for t in (hist, open_t) if t is not None])
         conv = self.conversations_tables.get(tname)
         if conv is not None:
             from openlogreplicator_spark.plans.rollup_apply import (
@@ -253,20 +252,12 @@ class CDCStreamPipeline:
                 ))
         if hist is not None:
             from openlogreplicator_spark.plans.scd2_apply import (
-                SCD2_META_COLS,
-                apply_scd2_batch,
+                apply_scd2_batch_sliced,
             )
 
-            kc = tuple(table.key_cols)
-            # payload = the history's CURRENT schema minus key/bookkeeping:
-            # a column the batch's own DDL just added is already here
-            payload = tuple(
-                f.name for f in hist.schema().fields
-                if f.name not in SCD2_META_COLS and f.name not in kc
-            )
-            summaries.append(apply_scd2_batch(
-                spark, committed, hist, self.cfg, batch_id,
-                payload_cols=payload, key_cols=kc, open_table=open_t,
+            summaries.extend(apply_scd2_batch_sliced(
+                spark, committed, ddls, hist, self.cfg, batch_id,
+                key_cols=tuple(table.key_cols), open_table=open_t,
             ))
 
     # ------------------------------------------------------------- per batch

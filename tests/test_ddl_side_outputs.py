@@ -300,12 +300,14 @@ def test_crash_between_primary_and_history_with_ddl(spark, tmp_path):
     assert table.last_batch_id() // 1024 == 1
     assert "meta" in table.read(spark).columns
     assert hist.last_batch_id() == 0    # history merge did not
-    # the DDL PROPAGATION (pre-merge) already evolved the history schema
-    assert "meta" in hist.read(spark).columns
+    # scn-sliced semantics: the history's schema evolves only when its own
+    # post-DDL slice applies — the crash in slice 0 means no alter yet
+    assert "meta" not in hist.read(spark).columns
 
-    # retry of the same batch id converges
+    # retry of the same batch id converges (composite slice ids, * 1024)
     pipe.process_batch(b1, 1)
-    assert hist.last_batch_id() == 1 and open_t.last_batch_id() == 1
+    assert "meta" in hist.read(spark).columns
+    assert hist.last_batch_id() == 1025 and open_t.last_batch_id() == 1025
 
     full = feed.where(F.col("scn") <= half_scn).unionByName(b1)
     want = _norm(_one_shot(
@@ -317,3 +319,103 @@ def test_crash_between_primary_and_history_with_ddl(spark, tmp_path):
     opn = open_t.read(spark).select(*KEYS, "valid_from")
     assert cur.exceptAll(opn).count() == 0
     assert opn.exceptAll(cur).count() == 0
+
+
+def test_add_column_default_mid_batch_matches_primary(spark, tmp_path):
+    """`ADD COLUMN ... DEFAULT dv` in the middle of ONE batch (round-5
+    review): the history is evolved by the SAME scn slicing as the primary,
+    so its pre-DDL version files predate its own alter and read the
+    initial-default — is_current history state must equal the primary
+    row-for-row, and pre-DDL-only keys must read 'dv' on BOTH sides (an
+    up-front-evolved history would have written explicit NULLs)."""
+    feed = generate_change_events(
+        spark, n_txs=80, n_convs=12, seed=83,
+    ).localCheckpoint()
+    ev, _ = _ddl_row(spark, feed, "ADD COLUMN meta string DEFAULT dv")
+    ev = ev.localCheckpoint()
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist,
+                             history_open_table=open_t)
+    pipe.process_batch(ev, 0)
+
+    prim = table.read(spark).select(*KEYS, F.col("meta").alias("p_meta"))
+    cur = hist.read(spark).where("is_current").select(
+        *KEYS, F.col("meta").alias("h_meta"))
+    both = prim.join(cur, KEYS, "full")
+    assert both.where(~F.col("p_meta").eqNullSafe(F.col("h_meta"))).count() \
+        == 0
+    # the default is actually observable (pre-DDL keys read 'dv')
+    assert prim.where("p_meta = 'dv'").count() > 0
+    # open store agrees with is_current (including meta)
+    opn = open_t.read(spark).select(*KEYS, F.col("meta").alias("h_meta"))
+    assert cur.exceptAll(opn).count() == 0
+    assert opn.exceptAll(cur).count() == 0
+
+
+def test_rename_mid_batch_matches_primary(spark, tmp_path):
+    """RENAME COLUMN mid-batch: pre-DDL events merge into the history under
+    the OLD name (their slice runs before the alter), the rename is
+    metadata-only with stable field ids, so post-rename reads surface those
+    values under the new name — identical to the primary. An
+    up-front-evolved history would have dropped them (cols_set says 'role',
+    payload says 'speaker')."""
+    feed = generate_change_events(
+        spark, n_txs=80, n_convs=12, seed=89,
+    ).localCheckpoint()
+    ev, _ = _ddl_row(spark, feed, "RENAME COLUMN role TO speaker")
+    ev = ev.localCheckpoint()
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist)
+    pipe.process_batch(ev, 0)
+
+    assert "speaker" in hist.read(spark).columns
+    assert "role" not in hist.read(spark).columns
+    prim = table.read(spark).select(*KEYS, F.col("speaker").alias("p"))
+    cur = hist.read(spark).where("is_current").select(
+        *KEYS, F.col("speaker").alias("h"))
+    both = prim.join(cur, KEYS, "full")
+    assert both.where(~F.col("p").eqNullSafe(F.col("h"))).count() == 0
+    # pre-DDL values are NOT lost: real non-null speakers exist
+    assert cur.where("h is not null").count() > 0
+
+
+def test_case_variant_collision_refused(spark, tmp_path):
+    """Spark resolves columns case-insensitively: 'VALID_FROM' collides
+    with the SCD2 bookkeeping column and must refuse like 'valid_from'."""
+    feed = generate_change_events(spark, n_txs=30, n_convs=8, seed=97)
+    ev, _ = _ddl_row(spark, feed, "ADD COLUMN VALID_FROM string")
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist)
+    with pytest.raises(RuntimeError, match="VALID_FROM"):
+        pipe.process_batch(ev, 0)
+    # and a case-variant re-ADD of an existing column is an idempotent
+    # no-op at the lake layer (never a second, ambiguous column)
+    from pyspark.sql.types import StringType
+    before = table.read(spark).columns
+    table.alter_add_column("ROLE", StringType())
+    assert table.read(spark).columns == before
+
+
+def test_noop_ddl_never_bricks_side_outputs(spark, tmp_path):
+    """A DDL the primary logs-and-skips (unknown type token) must not be
+    refused by the side-output preflight — a no-op DDL bricking the stream
+    into an eternal replay loop is worse than skipping it (round-5
+    review)."""
+    feed = generate_change_events(spark, n_txs=30, n_convs=8, seed=101)
+    ev, _ = _ddl_row(spark, feed, "ADD COLUMN valid_from blob")
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist)
+    pipe.process_batch(ev, 0)  # applies; the bogus DDL is skipped
+    assert "blob" not in " ".join(table.read(spark).columns)
+    assert hist.read(spark).count() > 0
