@@ -467,6 +467,14 @@ class LakeTable:
         Iceberg's catalog compare-and-swap; on an object-store catalog the
         same role is played by a conditional PUT."""
         v = manifest["version"]
+        # a per-attempt token embedded in the manifest lets the final
+        # ownership check verify the BYTES on disk are this attempt's, not
+        # just that the lock is held: a holder displaced by the stale-lock
+        # breaker can resume a stalled orphan-replace and clobber the
+        # usurper's same-version manifest in the instant between writes —
+        # content verification turns that lost update into a detected
+        # CommitConflict (round-5 review finding)
+        manifest["commit_token"] = uuid.uuid4().hex
         with _commit_lock(self.path) as lk:
             have_ptr = os.path.exists(os.path.join(self.path, _POINTER))
             if have_ptr:
@@ -502,6 +510,19 @@ class LakeTable:
             # displaced by the breaker's residual race aborts as a conflict
             # here, never racing its pointer swap against the usurper's
             lk.assert_held()
+            # ...and CONTENT re-check: the manifest about to be published
+            # must be this attempt's bytes (see commit_token above) — a
+            # displaced holder's resumed orphan-replace may have swapped
+            # them out from under a live usurper
+            try:
+                with open(mpath) as f:
+                    tok = json.load(f).get("commit_token")
+            except (OSError, ValueError):
+                tok = None
+            if tok != manifest["commit_token"]:
+                raise CommitConflict(
+                    f"manifest v{v} was replaced by a concurrent writer "
+                    "before the pointer swap")
             _atomic_write(os.path.join(self.path, _POINTER), str(v))
         self._manifest_cache[v] = manifest
 
@@ -1496,27 +1517,34 @@ class LakeTable:
         binds to the renamed field at read time — no data rewrite at any
         scale. Merge-key columns refuse (the merge identity must not change
         under a running stream); a retried rename (old gone, new present)
-        is a no-op."""
+        is a no-op. ``old`` resolves case-insensitively, matching Spark's
+        default resolver (round-5 review finding: the duplicate checks were
+        case-insensitive but the lookups were not, so 'RENAME Role x'
+        against a schema holding 'role' was silently lost); a case-only
+        rename ('role' -> 'ROLE') is allowed — it changes the display name
+        of the SAME field, which a case-insensitive resolver treats as one
+        column throughout."""
         m = dict(self.manifest())
-        if old in m["key_cols"]:
-            raise ValueError(f"cannot rename merge-key column {old!r}")
         cur = StructType.fromJson(m["schema"])
-        names = [f.name for f in cur.fields]
-        # case-insensitive like alter_add_column: a rename onto a
-        # case-variant of an existing column would make both unresolvable
-        lnames = [n.lower() for n in names]
-        if old not in names:
-            if new.lower() in lnames:
+        lmap = {f.name.lower(): f.name for f in cur.fields}
+        actual = lmap.get(old.lower())
+        if actual is None:
+            if new.lower() in lmap:
                 return  # idempotent retry
             raise ValueError(f"no such column {old!r}")
-        if new.lower() in lnames:
+        if actual.lower() in (k.lower() for k in m["key_cols"]):
+            raise ValueError(f"cannot rename merge-key column {old!r}")
+        if new == actual:
+            return  # exact no-op
+        if new.lower() in lmap and new.lower() != actual.lower():
             raise ValueError(f"column {new!r} already exists")
         fields = [
-            f.__class__(new, f.dataType, f.nullable) if f.name == old else f
+            f.__class__(new, f.dataType, f.nullable) if f.name == actual
+            else f
             for f in cur.fields
         ]
         fids = dict(self._fids(m, m["schema_id"]))
-        fids[new] = fids.pop(old)
+        fids[new] = fids.pop(actual)
         self._bump_schema(m, StructType(fields),
                           {"operation": "rename-column",
                            "from": old, "to": new},
@@ -1527,32 +1555,41 @@ class LakeTable:
         """Metadata-only DROP COLUMN (Iceberg schema evolution): the column
         leaves the current schema; historical files keep the bytes but
         readers project only current fields. Key columns refuse (the merge
-        identity must not change under a running stream)."""
+        identity must not change under a running stream). ``name`` resolves
+        case-insensitively, matching Spark's default resolver."""
         m = dict(self.manifest())
-        if name in m["key_cols"]:
-            raise ValueError(f"cannot drop merge-key column {name!r}")
         cur = StructType.fromJson(m["schema"])
-        if name not in [f.name for f in cur.fields]:
+        actual = next(
+            (f.name for f in cur.fields if f.name.lower() == name.lower()),
+            None)
+        if actual is None:
             return  # idempotent retry
-        fields = [f for f in cur.fields if f.name != name]
+        if actual.lower() in (k.lower() for k in m["key_cols"]):
+            raise ValueError(f"cannot drop merge-key column {name!r}")
+        fields = [f for f in cur.fields if f.name != actual]
         self._bump_schema(m, StructType(fields),
-                          {"operation": "drop-column", "column": name})
+                          {"operation": "drop-column", "column": actual})
 
     @_retry_conflict
     def alter_widen(self, name: str, spark_type) -> None:
         """Metadata-only type widen (e.g. int -> bigint). Idempotent: a
-        retried DDL whose target type already matches is a no-op."""
+        retried DDL whose target type already matches is a no-op, and so is
+        a widen of a column the schema does not carry (previously it
+        committed an unchanged schema). ``name`` resolves
+        case-insensitively, matching Spark's default resolver."""
         m = dict(self.manifest())
         cur = StructType.fromJson(m["schema"])
-        if any(f.name == name and f.dataType == spark_type for f in cur.fields):
+        actual = next(
+            (f for f in cur.fields if f.name.lower() == name.lower()), None)
+        if actual is None or actual.dataType == spark_type:
             return
         fields = []
         for f in cur.fields:
-            if f.name == name:
+            if f.name == actual.name:
                 f = f.__class__(f.name, spark_type, f.nullable)
             fields.append(f)
         self._bump_schema(m, StructType(fields),
-                          {"operation": "widen", "column": name})
+                          {"operation": "widen", "column": actual.name})
 
     def _bump_schema(self, m: dict, new_schema: StructType, summary: dict,
                      new_fids: dict | None = None,

@@ -191,6 +191,78 @@ def ddl_removed_columns(ddl: str) -> tuple[str, ...]:
     return ()
 
 
+def ddl_source_columns(ddl: str) -> tuple[str, ...]:
+    """Existing column names a 'column' DDL OPERATES ON (DROP/RENAME's old
+    name, WIDEN's target). The SCD2 side-output applier skips DDLs whose
+    source is one of its own bookkeeping columns: the primary has no such
+    column (it would have collided at bootstrap) and no-ops the DDL, so the
+    side outputs must no-op it too instead of dropping/renaming their own
+    machinery (round-5 review finding)."""
+    parts = ddl.strip().split()
+    kind = parts[0].upper() if parts else ""
+    if kind == "WIDEN" and len(parts) >= 3:
+        return (parts[1],)
+    return ddl_removed_columns(ddl)
+
+
+def ddl_applied(table: LakeTable, ddl: str) -> bool:
+    """True when the table's CURRENT schema already reflects this column
+    DDL. The SCD2 side output uses this to re-synchronize the history and
+    open store after a crash between their two alters (round-5 review
+    finding: a slice replay would otherwise select the evolved history's
+    new column from a never-evolved open store — an eternal
+    AnalysisException loop). Comparisons are case-insensitive to match
+    Spark's default resolver. Non-column DDL returns True (no schema state
+    to converge on)."""
+    parts = ddl.strip().split()
+    kind = parts[0].upper() if parts else ""
+    unit = parts[1].upper() if len(parts) > 1 else ""
+    names = {f.name.lower(): f for f in table.schema().fields}
+    if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
+        return parts[2].lower() in names
+    if kind == "WIDEN" and len(parts) >= 3:
+        f = names.get(parts[1].lower())
+        t = _spark_type(parts[2])
+        return f is None or t is None or f.dataType == t
+    if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
+        args = [p for p in parts[2:] if p.upper() != "TO"]
+        if len(args) != 2:
+            return True
+        # old gone = renamed already (or never existed -> primary no-op)
+        return args[0].lower() not in names
+    if kind == "DROP" and unit == "COLUMN" and len(parts) >= 3:
+        return parts[2].lower() not in names
+    return True
+
+
+def ddl_slice_bounds(
+    ddls: "list[tuple[int, str]]",
+) -> "list[tuple[int | None, int | None]]":
+    """Half-open ``(lo, hi]`` commit_scn ranges splitting a batch at each
+    DDL's scn: slice ``sub`` covers transactions that committed before
+    ``ddls[sub]`` lands; the final slice is unbounded above. SHARED by the
+    primary merge (apply_committed) and the SCD2 side output
+    (plans/scd2_apply.apply_scd2_batch_sliced): their agreement on slice
+    boundaries IS the mid-batch-DDL equivalence claim, so the boundary
+    arithmetic lives in exactly one place (round-5 review finding)."""
+    bounds: list[tuple[int | None, int | None]] = []
+    lo = None
+    for scn, _txt in ddls:
+        bounds.append((lo, scn))
+        lo = scn
+    bounds.append((lo, None))
+    return bounds
+
+
+def slice_by_scn(df: DataFrame, lo: "int | None", hi: "int | None") -> DataFrame:
+    """Filter to one ddl_slice_bounds range: ``lo < commit_scn <= hi``."""
+    if lo is not None:
+        df = df.where(F.col("commit_scn") > lo)
+    if hi is not None:
+        df = df.where(F.col("commit_scn") <= hi)
+    return df
+
+
 def _spark_type(name: str):
     """DDL type token -> Spark type, or None if unrecognized.
 
@@ -254,12 +326,7 @@ def apply_committed(
     (OLR RedoLog.cpp:751-762 confirmed-SCN skip).
     """
     ddls = sorted(ddls)
-    bounds: list[tuple[int | None, int | None]] = []
-    lo = None
-    for scn, _txt in ddls:
-        bounds.append((lo, scn))
-        lo = scn
-    bounds.append((lo, None))
+    bounds = ddl_slice_bounds(ddls)
 
     hwm = table.last_scn()
     if hwm >= 0:
@@ -281,11 +348,7 @@ def apply_committed(
                 # TRUNCATE on a retried batch would wipe rows merged AFTER
                 # it (write-audit guard; caught by spark-submit verify)
                 _apply_ddl(table, ddls[sub - 1][1])
-            part = assembled
-            if lo is not None:
-                part = part.where(F.col("commit_scn") > lo)
-            if hi is not None:
-                part = part.where(F.col("commit_scn") <= hi)
+            part = slice_by_scn(assembled, lo, hi)
             s = _merge_slice(spark, part, table, cfg, batch_id, sub, extra_summary)
             if s is not None:
                 summaries.append(s)

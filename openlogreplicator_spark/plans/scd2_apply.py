@@ -96,13 +96,18 @@ def bootstrap_scd2_target(
             StructField("is_current", BooleanType(), True),
         ]
     )
-    return LakeTable.create(
+    t = LakeTable.create(
         path,
         StructType(fields),
         ["conv_id", "turn_idx", "valid_from"],
         num_buckets=cfg.num_buckets,
         write_mode=write_mode,
     )
+    # stamp the write-audit id scheme at birth: tables created by this code
+    # only ever receive composite (sliced) ids, so the legacy plain-id
+    # migration shim in apply_scd2_batch_sliced can never misfire on them
+    t.set_property("scd2.id_scheme", "sliced")
+    return t
 
 
 def bootstrap_scd2_open_target(
@@ -143,6 +148,44 @@ def bootstrap_scd2_open_target(
     )
 
 
+def _payload_cols(history: LakeTable, key_cols: list) -> tuple[str, ...]:
+    """Payload = the history's CURRENT schema minus SCD2 bookkeeping minus
+    the key — re-derived after every alter so mid-stream DDL enters version
+    rows the same slice it lands on the primary."""
+    return tuple(
+        f.name for f in history.schema().fields
+        if f.name not in SCD2_META_COLS and f.name not in key_cols
+    )
+
+
+def _apply_side_ddl(table: LakeTable, ddl: str) -> None:
+    """Apply one column DDL to a side-output table, UNLESS it operates on a
+    column the side output OWNS (the SCD2 bookkeeping columns or the
+    table's merge key). Such a DDL names a column the primary does not have
+    — it would have collided with the side output at bootstrap — so the
+    primary log-and-skips it; applying it here would drop or rename the
+    side output's own machinery (round-5 review finding: 'DROP COLUMN
+    is_current' silently corrupted the history; 'RENAME COLUMN valid_from
+    x' bricked the open store's seed projection). Skips are logged,
+    mirroring _apply_ddl's own log-and-skip contract."""
+    import logging
+
+    from openlogreplicator_spark.plans.replay import (
+        _apply_ddl,
+        ddl_source_columns,
+    )
+
+    guarded = set(SCD2_META_COLS) | {k.lower() for k in table.key_cols}
+    hit = {c.lower() for c in ddl_source_columns(ddl)} & guarded
+    if hit:
+        logging.getLogger(__name__).warning(
+            "skipping DDL %r on SCD2 side output %s: it operates on "
+            "bookkeeping/key column(s) %s the primary does not have "
+            "(primary no-ops it; so do we)", ddl, table.path, sorted(hit))
+        return
+    _apply_ddl(table, ddl)
+
+
 def apply_scd2_batch_sliced(
     spark: SparkSession,
     assembled: DataFrame,
@@ -155,55 +198,89 @@ def apply_scd2_batch_sliced(
 ) -> list[dict]:
     """Apply one batch to the SCD2 history, interleaving column DDL by scn —
     the SAME slicing the primary merge does (plans/replay.py
-    apply_committed), so history version rows for events BEFORE a mid-batch
-    DDL are written under the pre-DDL schema and events after under the
-    evolved one. Without slicing, an `ADD COLUMN ... DEFAULT d` mid-batch
-    diverges: the primary's pre-DDL files predate the alter and read the
-    initial-default, while an up-front-evolved history would write explicit
-    NULLs for the same events (round-5 review finding). Slicing makes the
-    history's files predate its own alter identically.
+    apply_committed; shared ddl_slice_bounds/slice_by_scn so the boundary
+    arithmetic cannot drift), so history version rows for events BEFORE a
+    mid-batch DDL are written under the pre-DDL schema and events after
+    under the evolved one. Without slicing, an `ADD COLUMN ... DEFAULT d`
+    mid-batch diverges: the primary's pre-DDL files predate the alter and
+    read the initial-default, while an up-front-evolved history would write
+    explicit NULLs for the same events (round-5 review finding). Slicing
+    makes the history's files predate its own alter identically.
 
     Composite batch ids mirror the primary exactly (batch_id * 1024 + sub,
     ALWAYS composite so ids stay monotonic across DDL-free and DDL-carrying
     batches); each slice is an ordinary apply_scd2_batch, so crash-replay
     inherits the pinned per-slice semantics (write-audit skip + open-store
     catch-up). Only idempotent column alters are applied here — lifecycle
-    verbs are refused at pipeline preflight — so retried slices re-apply
-    their DDL safely. Payload columns are re-derived from the history's
-    CURRENT schema after each alter.
+    verbs are refused at pipeline preflight — and alters are guarded by
+    ``ddl_applied`` + ``_apply_side_ddl`` so retried slices re-apply their
+    DDL safely and bookkeeping-column DDL stays the no-op it is on the
+    primary.
+
+    Crash windows (both pinned by tests/test_ddl_side_outputs.py):
+
+      * between the history alter and the open-store alter — entry
+        re-synchronizes the open store to any DDL the history already
+        reflects, so a retried slice never selects an evolved-history
+        column from a never-evolved store;
+      * a history written by the PRE-SLICED scheme (plain batch_id audit
+        ids) being replayed by this code — detected via the
+        ``scd2.id_scheme`` table property (absent + last_batch_id equal to
+        the replayed plain id) and replayed with the legacy semantics
+        (one unsliced apply under the plain id: the history merge
+        audit-skips, the open store catches up) instead of composite ids
+        the old audit watermark would not skip (round-5 review finding:
+        the scheme switch would otherwise double-apply exactly the
+        crash-recovery batch the audit exists for).
     """
-    from openlogreplicator_spark.plans.replay import _apply_ddl, classify_ddl
+    from openlogreplicator_spark.plans.replay import (
+        classify_ddl,
+        ddl_applied,
+        ddl_slice_bounds,
+        slice_by_scn,
+    )
 
     kc = list(key_cols)
     col_ddls = sorted(
         (scn, txt) for scn, txt in (ddls or [])
         if classify_ddl(txt) == "column"
     )
-    bounds: list[tuple[int | None, int | None]] = []
-    lo = None
-    for scn, _txt in col_ddls:
-        bounds.append((lo, scn))
-        lo = scn
-    bounds.append((lo, None))
+
+    sliced_scheme = history.prop("scd2.id_scheme") == "sliced"
+    if not sliced_scheme and history.last_batch_id() == batch_id:
+        # legacy plain-id migration shim: this batch already landed under
+        # the pre-sliced scheme and is being replayed by upgraded code.
+        for _scn, txt in col_ddls:
+            for t in (history, open_table):
+                if t is not None and not ddl_applied(t, txt):
+                    _apply_side_ddl(t, txt)
+        return [apply_scd2_batch(
+            spark, assembled, history, cfg, batch_id,
+            payload_cols=_payload_cols(history, kc), key_cols=key_cols,
+            open_table=open_table,
+        )]
+    if not sliced_scheme:
+        history.set_property("scd2.id_scheme", "sliced")
+
+    if open_table is not None:
+        # crash re-sync: a prior attempt may have died between the two
+        # tables' alters — bring the open store up to whatever the history
+        # already reflects before any slice reads it
+        for _scn, txt in col_ddls:
+            if ddl_applied(history, txt) and not ddl_applied(open_table, txt):
+                _apply_side_ddl(open_table, txt)
 
     summaries: list[dict] = []
-    for sub, (lo, hi) in enumerate(bounds):
+    for sub, (lo, hi) in enumerate(ddl_slice_bounds(col_ddls)):
         if sub > 0:
             for t in (history, open_table):
-                if t is not None:
-                    _apply_ddl(t, col_ddls[sub - 1][1])
-        payload = tuple(
-            f.name for f in history.schema().fields
-            if f.name not in SCD2_META_COLS and f.name not in kc
-        )
-        part = assembled
-        if lo is not None:
-            part = part.where(F.col("commit_scn") > lo)
-        if hi is not None:
-            part = part.where(F.col("commit_scn") <= hi)
+                if t is not None and not ddl_applied(t, col_ddls[sub - 1][1]):
+                    _apply_side_ddl(t, col_ddls[sub - 1][1])
         summaries.append(apply_scd2_batch(
-            spark, part, history, cfg, batch_id * 1024 + sub,
-            payload_cols=payload, key_cols=key_cols, open_table=open_table,
+            spark, slice_by_scn(assembled, lo, hi), history, cfg,
+            batch_id * 1024 + sub,
+            payload_cols=_payload_cols(history, kc), key_cols=key_cols,
+            open_table=open_table,
         ))
     return summaries
 

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from openlogreplicator_spark.config import EngineConfig
+from openlogreplicator_spark.sinks.oracle_types import SPARK_TO_ORACLE
 
 # reference op codes (OutputBufferJson.cpp: 'c' create, 'u' update,
 # 'd' delete — processInsert/processUpdate/processDelete)
@@ -76,13 +77,9 @@ class JsonFormat:
 # Spark simpleString -> the Oracle type NAME the reference renders in its
 # JSON column definitions (OutputBufferJson.cpp:270-358 maps dictionary
 # types to these names; we map back from the lake schema's Spark types).
-# Derived from the ONE shared dispatch table so the JSON and protobuf
-# sinks can never drift on a type.
-from openlogreplicator_spark.sinks.protobuf_stream import (  # noqa: E402
-    _SPARK_TO_ORACLE,
-)
-
-_SPARK_TO_ORATYPE = {k: v[0] for k, v in _SPARK_TO_ORACLE.items()}
+# Derived from the ONE format-neutral dispatch (sinks/oracle_types.py) so
+# the JSON and protobuf sinks can never drift on a type.
+_SPARK_TO_ORATYPE = {k: v[0] for k, v in SPARK_TO_ORACLE.items()}
 
 
 def json_schema_columns_for(schema) -> list[tuple]:

@@ -44,31 +44,17 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from openlogreplicator_spark.config import EngineConfig
+from openlogreplicator_spark.sinks.oracle_types import SPARK_TO_ORACLE
 
 # ------------------------------------------------------------ wire encoding
 
 _PAYLOAD_CODE = 5  # ResponseCode.PAYLOAD
 _OP_ENUM = {"BEGIN": 0, "COMMIT": 1, "I": 2, "U": 3, "D": 4, "DDL": 5}
 
-# Spark simpleString -> (Oracle type NAME as the reference's JSON schema
-# renders it, OraProtoBuf ColumnType enum value). ONE dispatch shared by
-# both wire formats — json_stream derives its name map from this table, so
-# the two sinks can never drift on a type (round-5 review finding).
-_SPARK_TO_ORACLE = {
-    "string": ("varchar2", 1),       # VARCHAR2
-    "int": ("number", 2),            # NUMBER
-    "bigint": ("number", 2),
-    "smallint": ("number", 2),
-    "tinyint": ("number", 2),
-    "decimal": ("number", 2),
-    "boolean": ("number", 2),        # NUMBER(1)
-    "float": ("binary_float", 9),    # BINARY_FLOAT
-    "double": ("binary_double", 10),  # BINARY_DOUBLE
-    "binary": ("raw", 5),            # RAW
-    "date": ("date", 4),             # DATE
-    "timestamp": ("timestamp", 13),  # TIMESTAMP
-}
-_SPARK_TO_COLTYPE = {k: v[1] for k, v in _SPARK_TO_ORACLE.items()}
+# ColumnType ENUM per Spark type, from the format-neutral shared dispatch
+# (sinks/oracle_types.py) so the JSON and protobuf sinks can never drift
+# on a type (round-5 review finding)
+_SPARK_TO_COLTYPE = {k: v[1] for k, v in SPARK_TO_ORACLE.items()}
 
 
 @dataclass(frozen=True)

@@ -159,7 +159,8 @@ class CDCStreamPipeline:
                 "cannot absorb several routed tables' changes")
         return {None: x}
 
-    def _preflight_side_output_ddls(self, ddls: list, tname) -> None:
+    def _preflight_side_output_ddls(self, ddls: list, tname,
+                                    table: "LakeTable | None" = None) -> None:
         """Refuse — BEFORE anything applies — DDLs whose side-output
         semantics would silently diverge (round-4 verdict, top item):
 
@@ -170,6 +171,13 @@ class CDCStreamPipeline:
           * a column DDL introducing a name that collides with the SCD2
             bookkeeping columns (valid_from/valid_to/is_current) — the
             history could never carry it;
+          * a column DDL that DROPs/RENAMEs/WIDENs a primary column whose
+            name collides with the SCD2 bookkeeping columns — the history
+            cannot follow it without destroying its own machinery (round-5
+            review finding). When the primary does NOT carry the named
+            column the DDL is a primary no-op and must not brick the
+            stream: the sliced applier skips it on the side outputs too
+            (plans/scd2_apply._apply_side_ddl), keeping both sides no-ops;
           * RENAME/DROP of a rollup-view input column (role/text).
 
         Raising here, before the primary merge, keeps the batch atomic: on
@@ -184,6 +192,7 @@ class CDCStreamPipeline:
             classify_ddl,
             ddl_introduced_column,
             ddl_removed_columns,
+            ddl_source_columns,
         )
         from openlogreplicator_spark.plans.scd2_apply import SCD2_META_COLS
 
@@ -208,6 +217,17 @@ class CDCStreamPipeline:
                     f"DDL {txt!r} refused: column name {newc!r} collides "
                     "with the SCD2 history's bookkeeping columns "
                     f"{SCD2_META_COLS}; the history could never carry it.")
+            if hist is not None and table is not None:
+                meta_src = {c.lower() for c in ddl_source_columns(txt)} & set(
+                    SCD2_META_COLS)
+                if meta_src:
+                    prim = {f.name.lower() for f in table.schema().fields}
+                    if meta_src & prim:
+                        raise RuntimeError(
+                            f"DDL {txt!r} refused: it operates on primary "
+                            f"column(s) {sorted(meta_src & prim)} that "
+                            "collide with the SCD2 history's bookkeeping "
+                            "columns; the history cannot follow it.")
             if conv is not None:
                 gone = {c.lower() for c in ddl_removed_columns(txt)} & set(
                     self._VIEW_INPUT_COLS)
@@ -279,11 +299,11 @@ class CDCStreamPipeline:
             ddls = []  # single-table slicing not used on the multi path
             for name in self.tables:
                 self._preflight_side_output_ddls(
-                    ddls_by_table.get(name, []), name)
+                    ddls_by_table.get(name, []), name, self.tables[name])
         else:
             decoded = decode_events(batch_df, self.cfg)
             ddls = collect_ddls(decoded)
-            self._preflight_side_output_ddls(ddls, None)
+            self._preflight_side_output_ddls(ddls, None, self.table)
         # control-table events drive the M4 shutdown probe only — they must
         # NOT reach assembly (a '_control' begin would sit in the pending
         # open-transaction store forever, re-delivered into every batch)

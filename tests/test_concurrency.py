@@ -448,3 +448,42 @@ def test_commit_lock_displacement_detected_before_pointer_swap(tmp_path):
             lk.assert_held()
     finally:
         lk.__exit__(None, None, None)  # token mismatch -> no foreign unlink
+
+
+def test_clobbered_manifest_detected_before_pointer_swap(tmp_path):
+    """Content fencing (round-5 review): a displaced holder's resumed
+    orphan-replace can swap a live usurper's same-version manifest bytes
+    between the usurper's write and its pointer swap. The commit-token
+    re-read must turn that lost update into a CommitConflict — the pointer
+    must never publish foreign bytes as this writer's commit."""
+    import json as _json
+
+    import openlogreplicator_spark.lake as lake_mod
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.LongType(), False)]),
+        ["k"], num_buckets=2)
+    v0 = t.current_version()
+
+    orig = lake_mod._atomic_write_exclusive
+
+    def clobber_after_write(path, payload):
+        ok = orig(path, payload)
+        if ok and "manifests" in path:
+            foreign = _json.loads(payload)
+            foreign["commit_token"] = "displaced-holder"
+            lake_mod._atomic_write(path, _json.dumps(foreign))
+        return ok
+
+    lake_mod._atomic_write_exclusive = clobber_after_write
+    try:
+        m = dict(t.manifest())
+        m.update(version=m["version"] + 1, parent=m["version"],
+                 summary={"operation": "test"})
+        with pytest.raises(CommitConflict, match="replaced"):
+            t._commit(m)
+    finally:
+        lake_mod._atomic_write_exclusive = orig
+    assert t.current_version() == v0  # pointer never swapped

@@ -370,3 +370,48 @@ def test_add_after_drop_never_reuses_field_id(spark, tmp_path):
     assert pdf["d"].isna().all()
     assert not pdf.astype(str).apply(
         lambda col: col.str.contains("SECRET", na=False)).any().any()
+
+
+def test_alter_lookups_case_insensitive(spark, tmp_path):
+    """Spark resolves column references case-insensitively; the alter
+    lookups must match (round-5 review: duplicate checks were
+    case-insensitive but lookups were not, so 'RENAME Role x' against a
+    schema holding 'role' silently no-opped, and a case-only rename could
+    never apply)."""
+    t = bootstrap_target(str(tmp_path / "t"), EngineConfig(num_buckets=2))
+
+    # rename resolves 'ROLE' -> 'role'
+    t.alter_rename_column("ROLE", "speaker")
+    cols = [f.name for f in t.schema().fields]
+    assert "speaker" in cols and "role" not in cols
+
+    # case-only rename changes the display name of the SAME field
+    t.alter_rename_column("speaker", "SPEAKER")
+    cols = [f.name for f in t.schema().fields]
+    assert "SPEAKER" in cols and "speaker" not in cols
+    # exact no-op rename is idempotent
+    v = t.current_version()
+    t.alter_rename_column("SPEAKER", "SPEAKER")
+    assert t.current_version() == v
+
+    # rename onto a DIFFERENT existing column still refuses (ci)
+    with pytest.raises(ValueError, match="already exists"):
+        t.alter_rename_column("SPEAKER", "TEXT")
+
+    # key-column guards are case-insensitive too
+    with pytest.raises(ValueError, match="merge-key"):
+        t.alter_rename_column("CONV_ID", "x")
+    with pytest.raises(ValueError, match="merge-key"):
+        t.alter_drop_column("TURN_IDX")
+
+    # drop + widen resolve case-insensitively
+    t.alter_add_column("score", T.IntegerType())
+    t.alter_widen("SCORE", T.LongType())
+    assert dict((f.name, f.dataType) for f in t.schema().fields)[
+        "score"] == T.LongType()
+    # widen of an absent column is a clean no-op (no empty schema bump)
+    v = t.current_version()
+    t.alter_widen("nope", T.LongType())
+    assert t.current_version() == v
+    t.alter_drop_column("Score")
+    assert "score" not in [f.name for f in t.schema().fields]

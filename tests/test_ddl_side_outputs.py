@@ -419,3 +419,156 @@ def test_noop_ddl_never_bricks_side_outputs(spark, tmp_path):
     pipe.process_batch(ev, 0)  # applies; the bogus DDL is skipped
     assert "blob" not in " ".join(table.read(spark).columns)
     assert hist.read(spark).count() > 0
+
+
+def test_crash_between_history_and_open_store_alter(spark, tmp_path):
+    """Process dies AFTER the history's mid-batch alter but BEFORE the open
+    store's (the two are separate lake commits). The replayed batch must
+    re-synchronize the open store to the history's schema BEFORE any slice
+    reads it — without the entry re-sync, slice 0's payload (derived from
+    the evolved history) selects the new column from a never-evolved store:
+    an eternal AnalysisException replay loop (round-5 review finding)."""
+    feed = generate_change_events(
+        spark, n_txs=80, n_convs=12, seed=103,
+    ).localCheckpoint()
+    ev, _ = _ddl_row(spark, feed, "ADD COLUMN meta string")
+    ev = ev.localCheckpoint()
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist,
+                             history_open_table=open_t)
+
+    orig = open_t.alter_add_column
+    open_t.alter_add_column = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash before open-store alter"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.process_batch(ev, 0)
+    open_t.alter_add_column = orig
+    # exactly the crash window: history evolved, open store did not
+    assert "meta" in hist.read(spark).columns
+    assert "meta" not in open_t.read(spark).columns
+
+    # replay of the same batch heals and converges (no AnalysisException)
+    pipe.process_batch(ev, 0)
+    assert "meta" in open_t.read(spark).columns
+    want = _norm(_one_shot(ev, ("role", "text", "ts", "meta")),
+                 extra=("meta",))
+    pd.testing.assert_frame_equal(_norm(hist.read(spark), extra=("meta",)),
+                                  want)
+    cur = hist.read(spark).where("is_current").select(
+        *KEYS, "meta", "valid_from")
+    opn = open_t.read(spark).select(*KEYS, "meta", "valid_from")
+    assert cur.exceptAll(opn).count() == 0
+    assert opn.exceptAll(cur).count() == 0
+
+
+def test_bookkeeping_column_ddl_is_noop_on_both_sides(spark, tmp_path):
+    """'DROP COLUMN is_current' / 'RENAME COLUMN valid_from x' name columns
+    the PRIMARY does not have: the primary log-and-skips them, and the side
+    outputs must do the same — the round-5 review found the history applied
+    the DROP (corrupting is_current reads) and the open store applied the
+    RENAME (bricking the next slice's seed projection)."""
+    feed = generate_change_events(
+        spark, n_txs=120, n_convs=12, seed=107,
+    ).localCheckpoint()
+    # split ONE feed by scn (batches must stay scn-ordered) and plant one
+    # bookkeeping-column DDL in each half
+    scns = sorted(r[0] for r in feed.select("scn").distinct().collect())
+    mid = scns[len(scns) // 2]
+    ev, _ = _ddl_row(spark, feed.where(F.col("scn") <= mid),
+                     "DROP COLUMN is_current", scn=scns[len(scns) // 4])
+    ev = ev.localCheckpoint()
+    ev2, _ = _ddl_row(spark, feed.where(F.col("scn") > mid),
+                      "RENAME COLUMN valid_from TO vf",
+                      scn=scns[(3 * len(scns)) // 4])
+    ev2 = ev2.localCheckpoint()
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist,
+                             history_open_table=open_t)
+    pipe.process_batch(ev, 0)  # not refused (primary no-op), not applied
+    assert "is_current" in hist.read(spark).columns
+
+    pipe.process_batch(ev2, 1)
+    assert "valid_from" in open_t.read(spark).columns
+    assert "valid_from" in hist.read(spark).columns
+
+    # history still equals one-shot over both batches
+    full = ev.unionByName(ev2).where(F.col("op") != "DDL")
+    want = _norm(_one_shot(full, ("role", "text", "ts")))
+    pd.testing.assert_frame_equal(_norm(hist.read(spark)), want)
+
+    # pathological twin: the primary GENUINELY carries a colliding column
+    # -> the DDL would apply there and the history cannot follow: refuse
+    from pyspark.sql.types import StringType
+    table.alter_add_column("valid_to", StringType())
+    ev3, _ = _ddl_row(
+        spark, generate_change_events(spark, n_txs=20, n_convs=8, seed=113),
+        "DROP COLUMN valid_to")
+    with pytest.raises(RuntimeError, match="valid_to"):
+        pipe.process_batch(ev3, 2)
+
+
+def test_legacy_plain_id_history_replays_without_double_apply(
+        spark, tmp_path):
+    """Migration shim (round-5 review): a history written by the PRE-SLICED
+    scheme (plain batch_id audit ids) whose stream crashed between the
+    history and open-store merges of batch N must, when replayed by the
+    sliced code, SKIP the history merge (not re-apply under a composite id
+    the old watermark cannot gate) and catch the open store up — then
+    switch to composite ids from the next batch on."""
+    from openlogreplicator_spark.operators.scd2 import scd2_history
+    from openlogreplicator_spark.plans.scd2_apply import (
+        apply_scd2_batch,
+        apply_scd2_batch_sliced,
+    )
+
+    feed = generate_change_events(spark, n_txs=120, n_convs=16, seed=127)
+    surv = assemble_transactions_sql(feed, CFG).select(
+        *KEYS, "op", "scn", "seq", "xid", "commit_scn",
+        F.struct(*[F.col("after").getField(c).alias(c)
+                   for c in ("role", "text", "ts")]).alias("after"),
+        "cols_set",
+    ).localCheckpoint()
+    qs = surv.approxQuantile("commit_scn", [0.33, 0.66], 0.0)
+    b0 = surv.where(F.col("commit_scn") <= qs[0])
+    b1 = surv.where(
+        (F.col("commit_scn") > qs[0]) & (F.col("commit_scn") <= qs[1]))
+    b2 = surv.where(F.col("commit_scn") > qs[1])
+
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    # simulate a round-4-created table: no id-scheme stamp
+    hist.set_property("scd2.id_scheme", None)
+
+    # legacy batches 0 and 1 under PLAIN ids; batch 1 crashed between the
+    # history merge and the open-store merge (history landed, store didn't)
+    apply_scd2_batch(spark, b0, hist, CFG, 0, open_table=open_t)
+    apply_scd2_batch(spark, b1, hist, CFG, 1, open_table=None)
+    assert hist.last_batch_id() == 1 and open_t.last_batch_id() == 0
+
+    # upgraded code replays batch 1: shim must audit-skip the history merge
+    n_before = hist.read(spark).count()
+    s = apply_scd2_batch_sliced(
+        spark, b1, None, hist, CFG, 1, open_table=open_t)
+    assert len(s) == 1 and s[0].get("skipped")
+    assert hist.read(spark).count() == n_before  # no duplicated versions
+    assert open_t.last_batch_id() == 1           # store caught up
+
+    # next batch applies under composite ids and stamps the scheme
+    apply_scd2_batch_sliced(spark, b2, None, hist, CFG, 2, open_table=open_t)
+    assert hist.prop("scd2.id_scheme") == "sliced"
+    assert hist.last_batch_id() == 2 * 1024
+
+    want = _norm(scd2_history(surv, KEYS, ["role", "text", "ts"]))
+    pd.testing.assert_frame_equal(_norm(hist.read(spark)), want)
+    cur = hist.read(spark).where("is_current").select(*KEYS, "valid_from")
+    opn = open_t.read(spark).select(*KEYS, "valid_from")
+    assert cur.exceptAll(opn).count() == 0
+    assert opn.exceptAll(cur).count() == 0
