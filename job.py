@@ -64,8 +64,11 @@ def main(argv: list[str]) -> None:
     p.add_argument("--history-open-dir")
     # materialized view: per-conversation rollup maintained per batch
     p.add_argument("--conversations-dir")
-    # table maintenance: expire superseded CoW snapshots after the run
+    # table maintenance: expire superseded snapshots — replay mode runs one
+    # expiry after the run; stream mode expires the primary + all side
+    # outputs every --expire-every batches, retaining --expire-keep each
     p.add_argument("--expire-keep", type=int)
+    p.add_argument("--expire-every", type=int)
     # MERGE strategy (Iceberg write.merge.mode): cow rewrites touched
     # buckets, mor appends data + equality-delete files (write-optimized);
     # --compact-every folds MoR deltas back every N streaming batches
@@ -83,12 +86,15 @@ def main(argv: list[str]) -> None:
             f for f, v in (("--history-dir", args.history_dir),
                            ("--history-open-dir", args.history_open_dir),
                            ("--conversations-dir", args.conversations_dir),
-                           ("--change-stream-dir", args.change_stream_dir))
+                           ("--change-stream-dir", args.change_stream_dir),
+                           ("--expire-every", args.expire_every))
             if v
         ]
         if ignored:
-            p.error(f"{' '.join(ignored)}: side outputs run in stream "
-                    "mode only (replay is the bounded primary-table path)")
+            p.error(f"{' '.join(ignored)}: side outputs and per-batch "
+                    "cadences run in stream mode only (replay is the "
+                    "bounded primary-table path; use --expire-keep for "
+                    "its one-shot post-run expiry)")
 
     from openlogreplicator_spark.config import EngineConfig
     from openlogreplicator_spark.feed import generate_change_events
@@ -100,6 +106,8 @@ def main(argv: list[str]) -> None:
         start_scn=args.start_scn, start_seq=args.start_seq,
         start_ts=args.start_ts,
         merge_mode=args.merge_mode, compact_every=args.compact_every,
+        expire_every=args.expire_every,
+        expire_keep=args.expire_keep or 5,
     )
 
     if args.mode == "replay":

@@ -56,6 +56,18 @@ class EngineConfig:
     # never (batch callers run compact explicitly).
     compact_every: int | None = None
 
+    # streaming retention cadence: every N committed microbatches, expire
+    # superseded snapshots + their now-unreferenced data files on the
+    # primary AND every configured side-output table
+    # (LakeTable.expire_snapshots, retaining expire_keep snapshots each).
+    # Without it a long-running CoW stream grows disk and manifest count
+    # without bound — 10^10 events at ~1e6-event microbatches is ~1e4
+    # superseded snapshots per table, each a full rewrite of its touched
+    # buckets. None = never (batch callers expire explicitly, job.py
+    # --expire-keep).
+    expire_every: int | None = None
+    expire_keep: int = 5
+
     # salt factor for skew handling in the assembly shuffle: transactions are
     # grouped by pmod(xxhash64(xid), assembly_buckets * parallelism) so one hot
     # conversation cannot pin a single task (north-rule skew requirement).

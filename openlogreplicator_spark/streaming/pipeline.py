@@ -429,6 +429,28 @@ class CDCStreamPipeline:
                         summary={"trigger_batch": int(batch_id),
                                  "trigger": "delete-pressure"}))
 
+        # snapshot-retention cadence: every N committed batches, expire
+        # superseded snapshots (and their now-unreferenced files) on the
+        # primary and every side-output table — each microbatch's CoW merge
+        # leaves the previous generation's files on disk, so an unexpired
+        # long-running stream grows without bound. Like compaction, not
+        # batch-id-gated (a crash just defers collection — correctness
+        # never depends on it) and run AFTER this batch's merges so
+        # keep_last always retains the snapshot just written.
+        if self.cfg.expire_every and (batch_id + 1) % self.cfg.expire_every == 0:
+            primaries = (list(self.tables.values())
+                         if self.tables is not None else [self.table])
+            side = [
+                *self.history_tables.values(),
+                *self.history_open_tables.values(),
+                *self.conversations_tables.values(),
+                *self.sig_index_tables.values(),
+            ]
+            for tbl in primaries + side:
+                s = tbl.expire_snapshots(keep_last=self.cfg.expire_keep)
+                s["trigger_batch"] = int(batch_id)
+                summaries.append(s)
+
         self._write_lineage(spark, batch_id, part_stats, summaries,
                             wall_ms=int((time.time() - t0) * 1000))
         if ctl_seen:

@@ -159,3 +159,86 @@ def test_scd2_on_mor_history_batch_split(spark, tmp_path, compact_between):
     s = apply_scd2_batch(spark, parts[-1], hist, CFG, batch_id=3,
                          open_table=open_t)
     assert s.get("skipped")
+
+
+# ------------------------------------------------ streaming retention cadence
+
+def test_streaming_expire_cadence(spark, tmp_path):
+    """``expire_every`` collects superseded CoW snapshots mid-stream on the
+    primary AND the SCD2 side outputs: manifests and data files on disk stay
+    bounded while the final state equals an unexpired twin run's (retention
+    is collection, never semantics), and the write-audit survives expiry (a
+    replayed batch id still skips)."""
+    import glob
+    import os
+
+    from openlogreplicator_spark.feed import pandas_to_events_df
+    from openlogreplicator_spark.plans.replay import bootstrap_target
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    feed = generate_change_events(
+        spark, n_txs=120, n_convs=15, seed=67).localCheckpoint()
+    pdf = feed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    n, n_chunks = len(pdf), 6
+
+    def run(root, cfg):
+        table = bootstrap_target(str(root / "t"), cfg)
+        hist = bootstrap_scd2_target(str(root / "hist"), cfg)
+        open_t = bootstrap_scd2_open_target(str(root / "open"), cfg)
+        pipe = CDCStreamPipeline(table, cfg, str(root / "state"),
+                                 history_table=hist,
+                                 history_open_table=open_t)
+        chunks = [
+            pandas_to_events_df(
+                spark, pdf.iloc[(n * i) // n_chunks:(n * (i + 1)) // n_chunks]
+            )
+            for i in range(n_chunks)
+        ]
+        for i, c in enumerate(chunks):
+            pipe.process_batch(c, i)
+        return table, hist, open_t, pipe, chunks
+
+    keep = 2
+    expired = tmp_path / "expired"
+    plain = tmp_path / "plain"
+    expired.mkdir(), plain.mkdir()
+    t1, h1, o1, pipe1, chunks = run(
+        expired, EngineConfig(num_buckets=4, expire_every=2,
+                              expire_keep=keep))
+    t2, h2, o2, _, _ = run(plain, EngineConfig(num_buckets=4))
+
+    # bounded metadata: expired tables retain few manifests; the twin
+    # retains one per commit
+    for exp_t, plain_t in ((t1, t2), (h1, h2), (o1, o2)):
+        exp_manifests = len(
+            glob.glob(os.path.join(exp_t.path, "_manifests", "v*.json")))
+        plain_manifests = len(
+            glob.glob(os.path.join(plain_t.path, "_manifests", "v*.json")))
+        assert exp_manifests < plain_manifests
+        # last cadence point was batch 5 (after its merges); at most
+        # keep_last survive it plus the commits since
+        assert exp_manifests <= keep + 4
+        # bounded data: superseded generations' files were really deleted
+        exp_files = len(glob.glob(
+            os.path.join(exp_t.path, "data", "**", "*.parquet"),
+            recursive=True))
+        plain_files = len(glob.glob(
+            os.path.join(plain_t.path, "data", "**", "*.parquet"),
+            recursive=True))
+        assert exp_files < plain_files
+
+    # collection never changes semantics: both runs read identically
+    for exp_t, plain_t, key in (
+            (t1, t2, ["conv_id", "turn_idx"]),
+            (h1, h2, ["conv_id", "turn_idx", "valid_from"]),
+            (o1, o2, ["conv_id", "turn_idx"])):
+        a, b = exp_t.read(spark), plain_t.read(spark)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # the write-audit watermark survives expiry: replaying the last batch
+    # id is still skipped and the state is unchanged
+    before = t1.read(spark).count()
+    summaries = pipe1.process_batch(chunks[-1], n_chunks - 1)
+    assert any(s.get("skipped") for s in summaries)
+    assert t1.read(spark).count() == before
