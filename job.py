@@ -38,8 +38,11 @@ def build_spark(app: str) -> SparkSession:
 
 def main(argv: list[str]) -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["replay", "stream"])
-    p.add_argument("target", help="lake table path")
+    p.add_argument("mode", choices=["replay", "stream", "config"])
+    p.add_argument("target", help="lake table path (replay/stream) or the "
+                                  "engine config JSON path (config mode — "
+                                  "the OpenLogReplicator.json analog, see "
+                                  "openlogreplicator_spark/configfile.py)")
     p.add_argument("--n-txs", type=int, default=2000)
     p.add_argument("--with-ddl", action="store_true")
     p.add_argument("--feed-dir")
@@ -95,6 +98,27 @@ def main(argv: list[str]) -> None:
                     "cadences run in stream mode only (replay is the "
                     "bounded primary-table path; use --expire-keep for "
                     "its one-shot post-run expiry)")
+
+    if args.mode == "config":
+        # config-file entry point (the reference's only UX: main() builds
+        # everything from OpenLogReplicator.json). Parse BEFORE the Spark
+        # session: a bad config fails in milliseconds, like CONFIG_FAIL.
+        from openlogreplicator_spark.configfile import load_config, run_config
+
+        setup = load_config(args.target)
+        spark = build_spark("olr-cdc-config")
+        out = run_config(spark, setup, batch_id=args.batch_id)
+        for name, table in out["tables"]["targets"].items():
+            print("ROWS", name, table.read(spark).count())
+        for section in ("history", "conversations"):
+            for name, table in out["tables"][section].items():
+                print(section.upper(), name, table.read(spark).count())
+        if "summaries" in out:
+            for tname, ss in out["summaries"].items():
+                for s in ss:
+                    print("APPLY", tname, json.dumps(s))
+        spark.stop()
+        return
 
     from openlogreplicator_spark.config import EngineConfig
     from openlogreplicator_spark.feed import generate_change_events

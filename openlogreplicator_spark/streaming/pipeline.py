@@ -53,6 +53,9 @@ class CDCStreamPipeline:
         use_pandas_assembly: bool | None = None,
         change_stream_dir: str | None = None,
         change_stream_format: str = "json",
+        change_stream_message_mode: str = "tx",
+        change_stream_fmt=None,
+        change_stream_max_ops: int | None = None,
         history_table: "LakeTable | None" = None,
         history_open_table: "LakeTable | None" = None,
         conversations_table: "LakeTable | None" = None,
@@ -80,8 +83,25 @@ class CDCStreamPipeline:
             raise ValueError(
                 f"change_stream_format must be 'json' or 'protobuf', "
                 f"got {change_stream_format!r}")
+        # message shape (the reference's format "message" knob,
+        # OpenLogReplicator.cpp:277-283): 'tx' = one message per committed
+        # transaction ("message":1), 'op' = one message per DML
+        # ("message":0 — JSON renders the SHORT-mode begin/commit bracket
+        # stream, protobuf one RedoResponse per op)
+        if change_stream_message_mode not in ("tx", "op"):
+            raise ValueError(
+                f"change_stream_message_mode must be 'tx' or 'op', "
+                f"got {change_stream_message_mode!r}")
         self.change_stream_dir = change_stream_dir
         self.change_stream_format = change_stream_format
+        self.change_stream_message_mode = change_stream_message_mode
+        # optional JsonFormat / ProtoFormat header knobs for the side-channel
+        # serializer; None keeps each sink's default wire shape
+        self.change_stream_fmt = change_stream_fmt
+        # M1 big-transaction split budget for per-tx messages (the
+        # reference writer's "max-messages"); ignored in 'op' mode where
+        # every message is one DML already
+        self.change_stream_max_ops = change_stream_max_ops
         # optional SCD2 side-output: maintain a version-history lake table
         # incrementally per microbatch (plans/scd2_apply.py) — the
         # warehouse-side history the reference leaves to its consumers,
@@ -364,16 +384,26 @@ class CDCStreamPipeline:
                     spark, committed, self.table, None, ddls, batch_id,
                     summaries)
             if self.change_stream_dir is not None:
+                per_op = self.change_stream_message_mode == "op"
                 if self.change_stream_format == "protobuf":
                     from openlogreplicator_spark.sinks import (
-                        protobuf_stream_messages as _messages,
+                        protobuf_stream_messages,
+                        protobuf_stream_ops,
                         write_protobuf_stream as _write,
                     )
+                    _messages = (protobuf_stream_ops if per_op
+                                 else protobuf_stream_messages)
                 else:
                     from openlogreplicator_spark.sinks import (
-                        change_stream_messages as _messages,
+                        change_stream_brackets,
+                        change_stream_messages,
                         write_change_stream as _write,
                     )
+                    _messages = (change_stream_brackets if per_op
+                                 else change_stream_messages)
+                _kw = {"fmt": self.change_stream_fmt}
+                if not per_op and self.change_stream_max_ops:
+                    _kw["max_ops_per_message"] = self.change_stream_max_ops
 
                 if self.tables is not None:
                     # per-table serialization: each table's messages carry
@@ -384,13 +414,14 @@ class CDCStreamPipeline:
                             _messages(
                                 committed.where(F.col("table") == name),
                                 self.cfg, key_cols=tuple(tbl.key_cols),
+                                **_kw,
                             ),
                             os.path.join(self.change_stream_dir, name,
                                          f"batch_{batch_id}"),
                         )
                 else:
                     _write(
-                        _messages(committed, self.cfg),
+                        _messages(committed, self.cfg, **_kw),
                         os.path.join(self.change_stream_dir,
                                      f"batch_{batch_id}"),
                     )

@@ -1,0 +1,236 @@
+"""Config-file entry point: the OpenLogReplicator.json analog
+(openlogreplicator_spark/configfile.py; reference parse:
+OpenLogReplicator.cpp:109-190 CONFIG_FAIL, :193-626 sources, :628-824
+targets). Unknown fields refuse, reference-shaped knobs port with a note,
+and the parsed setup drives both the bounded batch replay and the streaming
+pipeline with side outputs + the "message":0/1 stream shapes."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from openlogreplicator_spark.configfile import (
+    ConfigError,
+    load_config,
+    parse_config,
+    run_config,
+)
+
+
+def _doc(**over):
+    """A minimal valid batch config; tests override pieces."""
+    d = {
+        "version": "1.0",
+        "sources": [{
+            "alias": "S1",
+            "name": "feed",
+            "reader": {"type": "batch", "redo-logs": ["/tmp/x"]},
+            "format": {"type": "json"},
+            "tables": [{"table": "transcripts", "target": "/tmp/t"}],
+        }],
+        "targets": [{
+            "alias": "T1", "source": "S1", "writer": {"type": "lake"},
+        }],
+    }
+    d.update(over)
+    return d
+
+
+def test_parse_refusals():
+    cases = [
+        # (mutator, message fragment)
+        (lambda d: d.pop("version"), "missing \"version\""),
+        (lambda d: d.update(version="9.9"), "incompatible \"version\""),
+        (lambda d: d.update(bogus=1), "unknown field \"bogus\""),
+        (lambda d: d["sources"][0].update(bogus=1), "unknown field"),
+        (lambda d: d["sources"][0]["reader"].pop("redo-logs"),
+         "missing \"redo-logs\""),
+        (lambda d: d["sources"][0]["reader"].update(type="o c i"),
+         "invalid reader \"type\""),
+        (lambda d: d["sources"][0]["format"].update(type="xml"),
+         "invalid \"type\""),
+        (lambda d: d["sources"][0]["format"].update(message=7),
+         "invalid \"message\""),
+        (lambda d: d["sources"][0]["format"].update(schema=9),
+         "invalid \"schema\""),
+        (lambda d: d["sources"][0]["tables"][0].update(key="  , "),
+         "empty \"key\""),
+        (lambda d: d["sources"][0]["tables"].append(
+            {"table": "transcripts", "target": "/tmp/u"}),
+         "duplicate \"table\""),
+        (lambda d: d["sources"][0]["tables"][0].update(
+            {"history-open": "/tmp/o"}), "requires \"history\""),
+        (lambda d: d["sources"][0]["tables"][0].update(
+            {"key": "doc_id", "history": "/tmp/h"}),
+         "require the default key"),
+        (lambda d: d["targets"][0].update(source="NOPE"),
+         "couldn't find reader"),
+        (lambda d: d["targets"][0]["writer"].update(type="kafka"),
+         "producer factory"),
+        (lambda d: d["targets"][0]["writer"].update(type="zeromq"),
+         "descope"),
+        (lambda d: d["targets"][0]["writer"].update(type="carrier-pigeon"),
+         "invalid writer \"type\""),
+        (lambda d: d["targets"][0]["writer"].update(type="file"),
+         "missing \"name\""),
+    ]
+    for mutate, frag in cases:
+        d = _doc()
+        mutate(d)
+        with pytest.raises(ConfigError, match=".*") as ei:
+            parse_config(d)
+        assert frag in str(ei.value), (frag, str(ei.value))
+
+    # online reader requires the feed dir
+    d = _doc()
+    d["sources"][0]["reader"] = {"type": "online"}
+    with pytest.raises(ConfigError) as ei:
+        parse_config(d)
+    assert "feed-dir" in str(ei.value)
+
+
+def test_reference_shaped_knobs_port_with_notes():
+    """Knobs a real OpenLogReplicator.json carries whose job Spark owns are
+    accepted (logged, not refused) so a reference config ports unchanged."""
+    d = _doc()
+    d["dump-redo-log"] = 1
+    d["trace2"] = 2
+    d["sources"][0].update({"flags": 32, "memory-min-mb": 64,
+                            "memory-max-mb": 1024,
+                            "redo-read-sleep": 10000})
+    d["sources"][0]["reader"].update({"disable-checks": 1,
+                                      "redo-copy-path": "/x"})
+    d["sources"][0]["format"].update({"char": 1, "unknown": 1, "column": 2})
+    d["targets"][0]["writer"].update({"poll-interval": 100000,
+                                      "checkpoint-interval": 10,
+                                      "queue-size": 65536})
+    setup = parse_config(d)
+    assert setup.reader_type == "batch"
+    # the reference's comma-separated key string parses like :603-617
+    d = _doc()
+    d["sources"][0]["tables"][0]["key"] = "CONV_ID, TURN_IDX"
+    assert parse_config(d).tables[0].key_cols == ("CONV_ID", "TURN_IDX")
+
+
+def test_writer_start_and_format_bits_map():
+    d = _doc()
+    d["sources"][0]["format"].update(
+        {"type": "protobuf", "message": 1, "scn": 1, "timestamp": 1,
+         "xid": 1, "schema": 5})
+    d["targets"][0]["writer"].update(
+        {"start-scn": 1000, "start-seq": 2, "max-messages": 100})
+    s = parse_config(d)
+    assert s.change_stream_format == "protobuf"
+    assert s.message_mode == "tx" and s.max_ops_per_message == 100
+    assert s.cfg.start_scn == 1000 and s.cfg.start_seq == 2
+    assert s.fmt_bits == {"scn_format": 1, "timestamp_format": 1,
+                          "xid_format": 1, "schema_format": 5}
+
+
+def test_batch_config_replays_to_oracle(spark, tmp_path):
+    """A batch-reader config end-to-end: the configured replay's final
+    table state equals the sequential oracle of the feed."""
+    from openlogreplicator_spark.feed import (
+        generate_change_events,
+        sequential_oracle,
+    )
+
+    events = generate_change_events(spark, n_txs=120, n_convs=15, seed=11)
+    feed_path = str(tmp_path / "redo")
+    events.write.parquet(feed_path)
+
+    d = _doc()
+    d["sources"][0]["reader"]["redo-logs"] = [feed_path]
+    d["sources"][0]["tables"][0]["target"] = str(tmp_path / "tbl")
+    d["sources"][0]["lake"] = {"num-buckets": 4}
+    cfg_path = str(tmp_path / "engine.json")
+    with open(cfg_path, "w") as f:
+        json.dump(d, f)
+
+    setup = load_config(cfg_path)
+    out = run_config(spark, setup, batch_id=1)
+    table = out["tables"]["targets"]["transcripts"]
+    got = (table.read(spark).toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+           .astype({"turn_idx": "int64"}))
+    want = (sequential_oracle(events.toPandas()).drop(columns=["meta"])
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            .astype({"turn_idx": "int64"}))
+    assert len(got) == len(want)
+    assert (got["text"].values == want["text"].values).all()
+
+    # side outputs refuse on the bounded path (job.py replay parity)
+    d["sources"][0]["tables"][0]["history"] = str(tmp_path / "h")
+    with pytest.raises(ConfigError) as ei:
+        run_config(spark, parse_config(d), batch_id=2)
+    assert "online" in str(ei.value)
+
+
+def test_online_config_with_side_outputs_and_op_stream(spark, tmp_path):
+    """An online-reader config: streaming apply with SCD2 history + open
+    store + conversations view, retention cadence, and a "message":0 file
+    writer — the bracket stream lands per batch and the side outputs agree
+    with the primary."""
+    from openlogreplicator_spark.feed import (
+        generate_change_events,
+        pandas_to_events_df,
+    )
+
+    feed = generate_change_events(spark, n_txs=100, n_convs=12, seed=23)
+    pdf = feed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    n, k = len(pdf), 3
+    for i in range(k):
+        chunk = pandas_to_events_df(
+            spark, pdf.iloc[(n * i) // k:(n * (i + 1)) // k])
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"stage_{i}"))
+        src = glob.glob(str(tmp_path / f"stage_{i}" / "part-*.parquet"))[0]
+        os.rename(src, str(feed_dir / f"evt_{i:03d}.parquet"))
+
+    d = _doc()
+    d["sources"][0]["reader"] = {"type": "online",
+                                 "feed-dir": str(feed_dir),
+                                 "max-files-per-trigger": 1}
+    d["sources"][0]["format"] = {"type": "json", "message": 0}
+    d["sources"][0]["tables"][0].update({
+        "target": str(tmp_path / "tbl"),
+        "history": str(tmp_path / "hist"),
+        "history-open": str(tmp_path / "open"),
+        "conversations": str(tmp_path / "conv"),
+    })
+    d["sources"][0]["lake"] = {"num-buckets": 4, "expire-every": 2,
+                               "expire-keep": 2}
+    d["targets"][0]["writer"] = {
+        "type": "file", "name": str(tmp_path / "stream"),
+        "state-dir": str(tmp_path / "state"),
+        "checkpoint-dir": str(tmp_path / "ckpt"),
+    }
+    out = run_config(spark, parse_config(d), available_now=True)
+
+    table = out["tables"]["targets"]["transcripts"]
+    hist = out["tables"]["history"]["transcripts"]
+    open_t = out["tables"]["history_open"]["transcripts"]
+    conv = out["tables"]["conversations"]["transcripts"]
+
+    rows = table.read(spark).count()
+    assert rows > 0
+    # open versions track the primary exactly
+    assert hist.read(spark).where("is_current").count() == rows
+    assert open_t.read(spark).count() == rows
+    assert conv.read(spark).count() > 0
+    # retention cadence ran: fewer manifests than commits
+    n_manifests = len(glob.glob(str(tmp_path / "tbl" / "_manifests" /
+                                    "v*.json")))
+    assert n_manifests <= 4
+    # "message":0 bracket stream: begin/commit messages present per batch
+    lines = []
+    for p in glob.glob(str(tmp_path / "stream" / "batch_*" / "part-*")):
+        with open(p) as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    assert any('"op":"begin"' in ln for ln in lines)
+    assert any('"op":"commit"' in ln for ln in lines)
+    assert sum('"payload":[{"op":"begin"}]' in ln for ln in lines) == \
+        sum('"payload":[{"op":"commit"}]' in ln for ln in lines)
