@@ -234,3 +234,74 @@ def test_online_config_with_side_outputs_and_op_stream(spark, tmp_path):
     assert any('"op":"commit"' in ln for ln in lines)
     assert sum('"payload":[{"op":"begin"}]' in ln for ln in lines) == \
         sum('"payload":[{"op":"commit"}]' in ln for ln in lines)
+
+
+def test_online_config_multi_table_routed(spark, tmp_path):
+    """Two tables[] masks in one source: events route by their `table`
+    column to per-table targets with per-table side outputs (history on one
+    table only), matching the reference's many-masks-one-source shape
+    (OpenLogReplicator.cpp:593-617)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.feed import (
+        generate_change_events,
+        pandas_to_events_df,
+        sequential_oracle,
+    )
+
+    feed = generate_change_events(spark, n_txs=80, n_convs=10, seed=41)
+    is_dml = F.col("op").isin("I", "U", "D")
+    routed = feed.withColumn(
+        "table",
+        F.when(~is_dml, F.col("table")).otherwise(
+            F.when(F.col("scn") % 2 == 0, F.lit("transcripts"))
+            .otherwise(F.lit("notes"))),
+    )
+    pdf = routed.toPandas().sort_values(["scn", "seq"]).reset_index(drop=True)
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    n, k = len(pdf), 2
+    for i in range(k):
+        chunk = pandas_to_events_df(
+            spark, pdf.iloc[(n * i) // k:(n * (i + 1)) // k])
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"stage_{i}"))
+        src = glob.glob(str(tmp_path / f"stage_{i}" / "part-*.parquet"))[0]
+        os.rename(src, str(feed_dir / f"evt_{i:03d}.parquet"))
+
+    d = _doc()
+    d["sources"][0]["reader"] = {"type": "online",
+                                 "feed-dir": str(feed_dir)}
+    d["sources"][0]["tables"] = [
+        {"table": "transcripts", "target": str(tmp_path / "t1"),
+         "history": str(tmp_path / "h1")},
+        {"table": "notes", "target": str(tmp_path / "t2")},
+    ]
+    d["sources"][0]["lake"] = {"num-buckets": 4}
+    d["targets"][0]["writer"] = {
+        "type": "lake",
+        "state-dir": str(tmp_path / "state"),
+        "checkpoint-dir": str(tmp_path / "ckpt"),
+    }
+    out = run_config(spark, parse_config(d), available_now=True)
+
+    # each routed target equals the sequential oracle of its slice
+    for name, tkey in (("transcripts", "t1"), ("notes", "t2")):
+        table = out["tables"]["targets"][name]
+        mask = (~pdf["op"].isin(["I", "U", "D"])) | (pdf["table"] == name)
+        want = (sequential_oracle(pdf[mask]).drop(columns=["meta"])
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+        got = (table.read(spark).toPandas()
+               .sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        assert len(got) == len(want), name
+        assert (got["text"].values == want["text"].values).all(), name
+
+    # per-table side output: only transcripts carries a history, and its
+    # open versions equal that routed slice's final state
+    assert "notes" not in out["tables"]["history"]
+    hist = out["tables"]["history"]["transcripts"]
+    cur = hist.read(spark).where("is_current").count()
+    assert cur == out["tables"]["targets"]["transcripts"].read(spark).count()
