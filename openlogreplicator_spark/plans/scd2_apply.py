@@ -159,15 +159,29 @@ def _payload_cols(history: LakeTable, key_cols: list) -> tuple[str, ...]:
 
 
 def _apply_side_ddl(table: LakeTable, ddl: str) -> None:
-    """Apply one column DDL to a side-output table, UNLESS it operates on a
-    column the side output OWNS (the SCD2 bookkeeping columns or the
-    table's merge key). Such a DDL names a column the primary does not have
-    — it would have collided with the side output at bootstrap — so the
-    primary log-and-skips it; applying it here would drop or rename the
-    side output's own machinery (round-5 review finding: 'DROP COLUMN
-    is_current' silently corrupted the history; 'RENAME COLUMN valid_from
-    x' bricked the open store's seed projection). Skips are logged,
-    mirroring _apply_ddl's own log-and-skip contract."""
+    """Apply one column DDL to a side-output table, UNLESS the PRIMARY
+    itself no-ops it — the side output must mirror the primary's effect
+    exactly, skip for skip and apply for apply:
+
+      * a DDL operating on an SCD2 bookkeeping column (valid_from/valid_to/
+        is_current): the primary has no such column (it would have collided
+        at bootstrap) and log-and-skips it, so skip here too — applying
+        would drop or rename the side output's own machinery (round-5
+        review finding: 'DROP COLUMN is_current' silently corrupted the
+        history; 'RENAME COLUMN valid_from x' bricked the open store's
+        seed projection);
+      * RENAME/DROP of a merge-key column: the primary's alter_rename_
+        column/alter_drop_column raise ValueError for key columns and
+        _apply_ddl catches-and-skips, so skip here without relying on the
+        side table sharing the same key set.
+
+    WIDEN of a merge-key column is NOT guarded: the primary's alter_widen
+    has no key refusal and applies it, so the history and open store widen
+    their key in the same slice (round-5 review finding: guarding it left
+    the side-output key narrower than the primary's — events past the old
+    type's range would cast to the stale narrow type on merge while the
+    primary stored them correctly). Skips are logged, mirroring
+    _apply_ddl's own log-and-skip contract."""
     import logging
 
     from openlogreplicator_spark.plans.replay import (
@@ -175,13 +189,16 @@ def _apply_side_ddl(table: LakeTable, ddl: str) -> None:
         ddl_source_columns,
     )
 
-    guarded = set(SCD2_META_COLS) | {k.lower() for k in table.key_cols}
+    verb = ddl.strip().split()[0].upper() if ddl.strip() else ""
+    guarded = set(SCD2_META_COLS)
+    if verb != "WIDEN":
+        guarded |= {k.lower() for k in table.key_cols}
     hit = {c.lower() for c in ddl_source_columns(ddl)} & guarded
     if hit:
         logging.getLogger(__name__).warning(
             "skipping DDL %r on SCD2 side output %s: it operates on "
-            "bookkeeping/key column(s) %s the primary does not have "
-            "(primary no-ops it; so do we)", ddl, table.path, sorted(hit))
+            "bookkeeping/key column(s) %s the primary no-ops it on "
+            "(skip-for-skip)", ddl, table.path, sorted(hit))
         return
     _apply_ddl(table, ddl)
 

@@ -102,6 +102,17 @@ def test_add_column_mid_stream_reaches_history_and_open_store(
     got = hist.read(spark)
     assert "meta" in got.columns
     assert "meta" in open_t.read(spark).columns
+    # `WIDEN turn_idx bigint` widens a MERGE-KEY column: the primary's
+    # alter_widen has no key refusal, so the history and open store must
+    # widen their key too, not skip it (round-5 review finding — the old
+    # guard left the side-output key narrower than the primary's)
+    prim_key_t = {f.name: f.dataType for f in table.schema().fields}[
+        "turn_idx"]
+    assert str(prim_key_t) == "LongType()"
+    for side in (hist, open_t):
+        side_key_t = {f.name: f.dataType
+                      for f in side.schema().fields}["turn_idx"]
+        assert side_key_t == prim_key_t, side.path
     # post-DDL events set meta -> present in post-DDL versions
     assert got.where(F.col("meta").isNotNull()).count() > 0
 
