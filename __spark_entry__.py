@@ -576,8 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state_mor": _q_final_state_mor,
         # cdc_lww_dedup (the G3 window form) is NOT a registry row: it proves
         # the same replay contract as cdc_final_state through a second plan,
-        # so it is pinned by tests/test_regressions.py::
-        # test_lww_window_form_equals_replayed_state instead — the driver's
+        # so it is pinned by tests/test_entry_contract.py::
+        # test_lww_dedup_matches_oracle instead — the driver's
         # oracle budget is 50 rows and a 51st registration silently drops the
         # last key from CORRECTNESS (round-4 verdict item 2).
         "cdc_commit_order": _q_commit_order,

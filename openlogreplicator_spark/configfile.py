@@ -108,6 +108,30 @@ def _int_in(obj: dict, key: str, where: str, lo: int, hi: int,
     return v
 
 
+def _opt_int(obj: dict, key: str, where: str, lo: int, hi: int):
+    """Optional integer knob: absent -> None, present -> validated like
+    _int_in. The reference parses every numeric knob through getJsonFieldU
+    and CONFIG_FAILs on type/range (OpenLogReplicator.cpp:277-352); a JSON
+    string \"5000\" or a bool must fail at parse, not deep inside a Spark
+    filter (round-5 review finding: '\"expire-every\": true' made the
+    cadence fire every batch)."""
+    if key not in obj:
+        return None
+    return _int_in(obj, key, where, lo, hi, 0)
+
+
+def _opt_str(obj: dict, key: str, where: str):
+    """Optional string knob: absent -> None, present -> non-empty string."""
+    if key not in obj:
+        return None
+    v = obj[key]
+    if not isinstance(v, str) or not v:
+        raise ConfigError(
+            f"bad JSON, invalid \"{key}\" value: {v!r} in {where}, "
+            "expected a non-empty string")
+    return v
+
+
 @dataclass
 class TableSpec:
     """One ``sources[].tables[]`` entry: a routed table mask with its key
@@ -199,6 +223,14 @@ def parse_config(doc: dict) -> EngineSetup:
                 "bad JSON, missing \"redo-logs\" element which is required "
                 "in \"batch\" reader type")
         redo_logs = [str(p) for p in rd["redo-logs"]]
+        for k in ("feed-dir", "max-files-per-trigger"):
+            if k in rd:
+                # the bounded replay reads the listed files in one pass —
+                # a tail directory / trigger budget would silently do
+                # nothing (the module's refuse-or-note contract)
+                raise ConfigError(
+                    f"bad JSON, \"{k}\" runs with the \"online\" reader "
+                    "only")
     elif reader_type == "online":
         if not rd.get("feed-dir"):
             raise ConfigError(
@@ -206,6 +238,10 @@ def parse_config(doc: dict) -> EngineSetup:
                 "in \"online\" reader type (the feed directory the stream "
                 "tails — the engine's V$ connection analog)")
         feed_dir = str(rd["feed-dir"])
+        if "redo-logs" in rd:
+            raise ConfigError(
+                "bad JSON, \"redo-logs\" runs with the \"batch\" reader "
+                "only (the \"online\" reader tails \"feed-dir\")")
     else:
         raise ConfigError(
             f"bad JSON, invalid reader \"type\" value: {reader_type!r}, "
@@ -332,19 +368,59 @@ def parse_config(doc: dict) -> EngineSetup:
                 "\"file\" writer")
         change_stream_dir = str(wr["name"])
 
+    start_now = wr.get("start-now", False)
+    if not isinstance(start_now, bool):
+        raise ConfigError(
+            f"bad JSON, invalid \"start-now\" value: {start_now!r} in "
+            "writer, expected a boolean")
+
+    # ---- cross-section refusals (accepted-but-ignored is a CONFIG_FAIL) --
+    # the change-stream side-channel, its format knobs, the event-table
+    # command channel and the streaming state/checkpoint dirs all live in
+    # the online pipeline; with the batch reader they would parse fine and
+    # silently do nothing — the exact failure mode the module's docstring
+    # promises to refuse (round-5 review finding).
+    if reader_type == "batch":
+        if writer_type == "file":
+            raise ConfigError(
+                "bad JSON, the \"file\" writer (the change-stream "
+                "side-channel) runs with the \"online\" reader only")
+        for j, s in enumerate(specs):
+            if s.history or s.history_open or s.conversations:
+                raise ConfigError(
+                    f"bad JSON, side outputs in tables[{j}] run with the "
+                    "\"online\" reader only (the bounded replay would not "
+                    "maintain them)")
+        if src.get("event-table"):
+            raise ConfigError(
+                "bad JSON, \"event-table\" (the command channel) runs "
+                "with the \"online\" reader only")
+        for k in ("state-dir", "checkpoint-dir"):
+            if k in wr:
+                raise ConfigError(
+                    f"bad JSON, writer \"{k}\" runs with the \"online\" "
+                    "reader only")
+        if message or any(fmt_bits.values()) or "max-messages" in wr:
+            raise ConfigError(
+                "bad JSON, format knobs (\"message\", \"scn\", "
+                "\"timestamp\", \"xid\", \"schema\", writer "
+                "\"max-messages\") shape the change stream, which runs "
+                "with the \"online\" reader only")
+
     cfg = EngineConfig(
         key_cols=specs[0].key_cols,
         table_filter=tuple(names),
-        num_buckets=int(lk.get("num-buckets", 16)),
+        num_buckets=_int_in(lk, "num-buckets", "lake", 1, 1 << 16, 16),
         merge_mode=merge_mode,
-        compact_every=lk.get("compact-every"),
-        expire_every=lk.get("expire-every"),
-        expire_keep=int(lk.get("expire-keep", 5)),
-        start_scn=wr.get("start-scn"),
-        start_seq=wr.get("start-seq"),
-        start_ts=wr.get("start-time"),
-        start_relative_s=wr.get("start-time-rel"),
-        start_now=bool(wr.get("start-now", False)),
+        compact_every=_opt_int(lk, "compact-every", "lake", 1, 1 << 31),
+        expire_every=_opt_int(lk, "expire-every", "lake", 1, 1 << 31),
+        expire_keep=_int_in(lk, "expire-keep", "lake", 1, 1 << 31, 5),
+        start_scn=_opt_int(wr, "start-scn", "writer", 0, 1 << 62),
+        start_seq=_opt_int(wr, "start-seq", "writer", 0, 1 << 62),
+        start_ts=_opt_str(wr, "start-time", "writer"),
+        start_relative_s=_opt_int(wr, "start-time-rel", "writer",
+                                  0, 1 << 62),
+        start_now=start_now,
         maxFilesPerTrigger=_int_in(rd, "max-files-per-trigger", "reader",
                                    1, 1 << 20, 8),
     )
@@ -356,10 +432,11 @@ def parse_config(doc: dict) -> EngineSetup:
         writer_type=writer_type, change_stream_dir=change_stream_dir,
         change_stream_format=fmt_type,
         message_mode="tx" if message == 1 else "op",
-        max_ops_per_message=wr.get("max-messages"),
+        max_ops_per_message=_opt_int(wr, "max-messages", "writer",
+                                     1, 1 << 31),
         fmt_bits=fmt_bits,
-        checkpoint_dir=wr.get("checkpoint-dir"),
-        state_dir=wr.get("state-dir"),
+        checkpoint_dir=_opt_str(wr, "checkpoint-dir", "writer"),
+        state_dir=_opt_str(wr, "state-dir", "writer"),
     )
 
 
@@ -430,19 +507,31 @@ def run_config(spark, setup: EngineSetup, batch_id: int = 0,
     (available_now=True drains the feed then stops — pass False for a
     continuous tail). Returns {"tables": ..., "summaries"/"query": ...}.
     """
+    # refuse BEFORE bootstrap_tables: a refused config must not leave
+    # freshly created lake tables behind on disk (round-5 review finding —
+    # a later corrected run would silently open them with the refused run's
+    # num_buckets/merge-mode). parse_config already enforces these for
+    # configs it produced; this guards hand-built EngineSetups too.
+    if setup.reader_type == "batch":
+        if setup.change_stream_dir or any(
+                s.history or s.history_open or s.conversations
+                for s in setup.tables):
+            # same contract as job.py replay mode: accepting a side output
+            # the bounded path won't maintain would silently diverge
+            raise ConfigError(
+                "bad JSON, side outputs (\"file\" writer, \"history\", "
+                "\"conversations\") run with the \"online\" reader only")
+    elif not (setup.state_dir and setup.checkpoint_dir):
+        raise ConfigError(
+            "bad JSON, the \"online\" reader requires writer "
+            "\"state-dir\" and \"checkpoint-dir\"")
+
     tabs = bootstrap_tables(setup)
 
     if setup.reader_type == "batch":
         from openlogreplicator_spark.feed import CHANGE_EVENT_SCHEMA
         from openlogreplicator_spark.plans.replay import replay_batch_multi
 
-        if setup.change_stream_dir or tabs["history"] or \
-                tabs["conversations"]:
-            # same contract as job.py replay mode: accepting a side output
-            # the bounded path won't maintain would silently diverge
-            raise ConfigError(
-                "bad JSON, side outputs (\"file\" writer, \"history\", "
-                "\"conversations\") run with the \"online\" reader only")
         events = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(
             *setup.redo_logs)
         summaries = replay_batch_multi(
@@ -451,10 +540,6 @@ def run_config(spark, setup: EngineSetup, batch_id: int = 0,
 
     from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
 
-    if not (setup.state_dir and setup.checkpoint_dir):
-        raise ConfigError(
-            "bad JSON, the \"online\" reader requires writer "
-            "\"state-dir\" and \"checkpoint-dir\"")
     single = len(setup.tables) == 1
     pipe = CDCStreamPipeline(
         (next(iter(tabs["targets"].values())) if single

@@ -404,22 +404,45 @@ class CDCStreamPipeline:
                 _kw = {"fmt": self.change_stream_fmt}
                 if not per_op and self.change_stream_max_ops:
                     _kw["max_ops_per_message"] = self.change_stream_max_ops
+                # SCHEMA_FORMAT_FULL (bit0, types.h:104-116): thread the
+                # target table's column definitions into the schema section.
+                # Recomputed per batch from the live manifest so mid-stream
+                # DDL (ADD/WIDEN/RENAME applied above) shows up in the very
+                # batch that carried it, like the reference's re-emitted
+                # schema messages.
+                _schema_cols = None
+                if (self.change_stream_fmt is not None
+                        and getattr(self.change_stream_fmt,
+                                    "schema_format", 0) & 1):
+                    if self.change_stream_format == "protobuf":
+                        from openlogreplicator_spark.sinks.protobuf_stream \
+                            import schema_columns_for as _schema_cols
+                    else:
+                        from openlogreplicator_spark.sinks.json_stream \
+                            import json_schema_columns_for as _schema_cols
 
                 if self.tables is not None:
                     # per-table serialization: each table's messages carry
                     # ITS key columns (per-table key overrides), in a
                     # per-table subdir
                     for name, tbl in self.tables.items():
+                        _tkw = dict(_kw)
+                        if _schema_cols is not None:
+                            _tkw["schema_columns"] = _schema_cols(
+                                tbl.schema())
                         _write(
                             _messages(
                                 committed.where(F.col("table") == name),
                                 self.cfg, key_cols=tuple(tbl.key_cols),
-                                **_kw,
+                                **_tkw,
                             ),
                             os.path.join(self.change_stream_dir, name,
                                          f"batch_{batch_id}"),
                         )
                 else:
+                    if _schema_cols is not None:
+                        _kw["schema_columns"] = _schema_cols(
+                            self.table.schema())
                     _write(
                         _messages(committed, self.cfg, **_kw),
                         os.path.join(self.change_stream_dir,

@@ -115,18 +115,127 @@ def test_reference_shaped_knobs_port_with_notes():
 
 
 def test_writer_start_and_format_bits_map():
+    # format/message knobs shape the change stream -> online reader
     d = _doc()
+    d["sources"][0]["reader"] = {"type": "online", "feed-dir": "/tmp/feed"}
     d["sources"][0]["format"].update(
         {"type": "protobuf", "message": 1, "scn": 1, "timestamp": 1,
          "xid": 1, "schema": 5})
     d["targets"][0]["writer"].update(
-        {"start-scn": 1000, "start-seq": 2, "max-messages": 100})
+        {"start-scn": 1000, "start-seq": 2, "max-messages": 100,
+         "state-dir": "/tmp/state", "checkpoint-dir": "/tmp/ckpt"})
     s = parse_config(d)
     assert s.change_stream_format == "protobuf"
     assert s.message_mode == "tx" and s.max_ops_per_message == 100
     assert s.cfg.start_scn == 1000 and s.cfg.start_seq == 2
     assert s.fmt_bits == {"scn_format": 1, "timestamp_format": 1,
                           "xid_format": 1, "schema_format": 5}
+    # the batch reader still owns the bounded-start knobs
+    d = _doc()
+    d["targets"][0]["writer"].update({"start-scn": 1000})
+    assert parse_config(d).cfg.start_scn == 1000
+
+
+def test_scalar_knobs_validated_at_parse():
+    """Writer/lake scalar knobs fail at parse on type/range like the format
+    ints — a JSON string \"5000\" or a bool must not flow into Spark filter
+    construction (round-5 review finding: '\"expire-every\": true' made the
+    retention cadence fire every single batch)."""
+    cases = [
+        (lambda d: d["targets"][0]["writer"].update({"start-scn": "5000"}),
+         "start-scn"),
+        (lambda d: d["targets"][0]["writer"].update({"start-seq": -1}),
+         "start-seq"),
+        (lambda d: d["targets"][0]["writer"].update({"start-time": 12345}),
+         "start-time"),
+        (lambda d: d["targets"][0]["writer"].update(
+            {"start-time-rel": 1.5}), "start-time-rel"),
+        (lambda d: d["targets"][0]["writer"].update({"start-now": 1}),
+         "start-now"),
+        (lambda d: d["sources"][0].update(
+            {"lake": {"expire-every": True}}), "expire-every"),
+        (lambda d: d["sources"][0].update(
+            {"lake": {"compact-every": -3}}), "compact-every"),
+        (lambda d: d["sources"][0].update(
+            {"lake": {"num-buckets": 0}}), "num-buckets"),
+        (lambda d: d["sources"][0].update(
+            {"lake": {"expire-keep": "5"}}), "expire-keep"),
+    ]
+    for mutate, frag in cases:
+        d = _doc()
+        mutate(d)
+        with pytest.raises(ConfigError) as ei:
+            parse_config(d)
+        assert frag in str(ei.value), (frag, str(ei.value))
+
+
+def test_batch_reader_refuses_online_only_knobs():
+    """Accepted-but-ignored is a CONFIG_FAIL: every knob the batch path
+    would silently drop refuses at parse (round-5 review finding), and a
+    refused config leaves NO freshly bootstrapped tables behind."""
+    cases = [
+        (lambda d: d["sources"][0].update({"event-table": "_control"}),
+         "event-table"),
+        (lambda d: d["targets"][0]["writer"].update(
+            {"state-dir": "/tmp/s"}), "state-dir"),
+        (lambda d: d["targets"][0]["writer"].update(
+            {"checkpoint-dir": "/tmp/c"}), "checkpoint-dir"),
+        (lambda d: d["sources"][0]["format"].update({"scn": 1}),
+         "change stream"),
+        (lambda d: d["sources"][0]["format"].update({"message": 1}),
+         "change stream"),
+        (lambda d: d["targets"][0]["writer"].update({"max-messages": 10}),
+         "change stream"),
+        (lambda d: d["sources"][0]["reader"].update(
+            {"feed-dir": "/tmp/f"}), "feed-dir"),
+        (lambda d: d["sources"][0]["reader"].update(
+            {"max-files-per-trigger": 4}), "max-files-per-trigger"),
+        (lambda d: d["sources"][0]["tables"][0].update(
+            {"history": "/tmp/h"}), "side outputs"),
+    ]
+    for mutate, frag in cases:
+        d = _doc()
+        mutate(d)
+        with pytest.raises(ConfigError) as ei:
+            parse_config(d)
+        assert frag in str(ei.value), (frag, str(ei.value))
+    # and online refuses the batch-only file list
+    d = _doc()
+    d["sources"][0]["reader"] = {"type": "online", "feed-dir": "/tmp/f",
+                                 "redo-logs": ["/tmp/x"]}
+    d["targets"][0]["writer"].update({"state-dir": "/tmp/s",
+                                      "checkpoint-dir": "/tmp/c"})
+    with pytest.raises(ConfigError) as ei:
+        parse_config(d)
+    assert "redo-logs" in str(ei.value)
+
+
+def test_refused_run_config_bootstraps_nothing(spark, tmp_path):
+    """run_config's own refusals fire BEFORE bootstrap_tables, so a refused
+    hand-built EngineSetup leaves no half-configured lake tables on disk
+    (round-5 review finding: the batch side-output refusal used to run
+    after bootstrap)."""
+    from openlogreplicator_spark.configfile import EngineSetup, TableSpec
+    from openlogreplicator_spark.config import EngineConfig
+
+    target = tmp_path / "t"
+    hist = tmp_path / "h"
+    setup = EngineSetup(
+        reader_type="batch", cfg=EngineConfig(num_buckets=4),
+        tables=[TableSpec(name="transcripts", target=str(target),
+                          history=str(hist))],
+        redo_logs=["/tmp/nonexistent"])
+    with pytest.raises(ConfigError):
+        run_config(spark, setup)
+    assert not target.exists() and not hist.exists()
+    # online without state/checkpoint dirs: same guarantee
+    setup2 = EngineSetup(
+        reader_type="online", cfg=EngineConfig(num_buckets=4),
+        tables=[TableSpec(name="transcripts", target=str(target))],
+        feed_dir="/tmp/feed")
+    with pytest.raises(ConfigError):
+        run_config(spark, setup2)
+    assert not target.exists()
 
 
 def test_batch_config_replays_to_oracle(spark, tmp_path):

@@ -242,3 +242,38 @@ def test_streaming_expire_cadence(spark, tmp_path):
     summaries = pipe1.process_batch(chunks[-1], n_chunks - 1)
     assert any(s.get("skipped") for s in summaries)
     assert t1.read(spark).count() == before
+
+
+# ------------------------------- schema knob threaded through the pipeline
+
+def test_pipeline_threads_schema_columns(spark, tmp_path):
+    """A pipeline built with schema_format bit0 (the config entry point's
+    ``"format": {"schema": 1}``) emits column definitions in the change
+    stream's schema section — round-5 review finding: the knob was accepted
+    by configfile but the pipeline never threaded ``schema_columns``, so
+    the promised definitions were silently absent from the wire."""
+    import glob
+    import os
+
+    from openlogreplicator_spark.plans.replay import bootstrap_target
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4)
+    feed = generate_change_events(spark, n_txs=40, n_convs=8, seed=83)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    cs_dir = str(tmp_path / "cs")
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"),
+                             change_stream_dir=cs_dir,
+                             change_stream_fmt=JsonFormat(schema_format=1))
+    pipe.process_batch(feed, 0)
+
+    want = json_schema_columns_for(table.schema())
+    msgs = spark.read.text(
+        *sorted(glob.glob(os.path.join(cs_dir, "batch_*")))).collect()
+    assert msgs
+    for r in msgs:
+        m = json.loads(r["value"])
+        for p in m["payload"]:
+            got = [(c["name"], c["type"], c["nullable"])
+                   for c in p["schema"]["columns"]]
+            assert got == want
