@@ -277,3 +277,44 @@ def test_pipeline_threads_schema_columns(spark, tmp_path):
             got = [(c["name"], c["type"], c["nullable"])
                    for c in p["schema"]["columns"]]
             assert got == want
+
+
+def test_pipeline_threads_schema_columns_protobuf(spark, tmp_path):
+    """Same knob through the protobuf sink: the pipeline passes the
+    ColumnType-enum column list and the consumer-side decoder reads it
+    back from every payload's Schema message."""
+    import glob
+    import os
+
+    from openlogreplicator_spark.plans.replay import bootstrap_target
+    from openlogreplicator_spark.sinks.protobuf_stream import (
+        ProtoFormat,
+        decode_response,
+        schema_columns_for,
+    )
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4)
+    feed = generate_change_events(spark, n_txs=40, n_convs=8, seed=89)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    cs_dir = str(tmp_path / "cs")
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"),
+                             change_stream_dir=cs_dir,
+                             change_stream_format="protobuf",
+                             change_stream_message_mode="tx",
+                             change_stream_fmt=ProtoFormat(schema_format=1))
+    pipe.process_batch(feed, 0)
+
+    want = schema_columns_for(table.schema())
+    msgs = spark.read.parquet(
+        *sorted(glob.glob(os.path.join(cs_dir, "batch_*")))).collect()
+    assert msgs
+    seen = 0
+    for r in msgs:
+        resp = decode_response(bytes(r["value"]))
+        for p in resp["payloads"]:
+            if p["schema"] is None:  # BEGIN/COMMIT brackets carry none
+                continue
+            assert p["columns"] == want
+            seen += 1
+    assert seen > 0
