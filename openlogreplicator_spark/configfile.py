@@ -280,6 +280,12 @@ def parse_config(doc: dict) -> EngineSetup:
         _check_keys(t, f"tables[{j}]", required=("table", "target"),
                     optional=("key", "history", "history-open",
                               "conversations"))
+        # path/name knobs are strings — a non-string must fail HERE, not
+        # as a TypeError inside bootstrap_tables after the target table
+        # was already created (round-5 review finding)
+        for k in ("table", "target", "history", "history-open",
+                  "conversations"):
+            _opt_str(t, k, f"tables[{j}]")
         key = t.get("key")
         if key is None:
             kc: tuple[str, ...] = ("conv_id", "turn_idx")
@@ -400,12 +406,22 @@ def parse_config(doc: dict) -> EngineSetup:
                 raise ConfigError(
                     f"bad JSON, writer \"{k}\" runs with the \"online\" "
                     "reader only")
-        if message or any(fmt_bits.values()) or "max-messages" in wr:
-            raise ConfigError(
-                "bad JSON, format knobs (\"message\", \"scn\", "
-                "\"timestamp\", \"xid\", \"schema\", writer "
-                "\"max-messages\") shape the change stream, which runs "
-                "with the \"online\" reader only")
+    # the change-stream knobs need an actual change stream: with the
+    # "lake" writer there is none, whatever the reader — accepting them
+    # would be the same silent no-op the batch refusals close (round-5
+    # review finding: online + lake dropped every format bit)
+    if writer_type != "file" and (message or any(fmt_bits.values())
+                                  or "max-messages" in wr):
+        raise ConfigError(
+            "bad JSON, format knobs (\"message\", \"scn\", \"timestamp\", "
+            "\"xid\", \"schema\", writer \"max-messages\") shape the "
+            "change stream, which runs with the \"file\" writer only")
+    if "max-messages" in wr and message == 0:
+        # the M1 split budget divides per-TRANSACTION messages; in per-op
+        # mode every message is one op and the knob silently does nothing
+        raise ConfigError(
+            "bad JSON, \"max-messages\" splits per-transaction messages "
+            "and requires format \"message\": 1")
 
     cfg = EngineConfig(
         key_cols=specs[0].key_cols,
@@ -428,7 +444,7 @@ def parse_config(doc: dict) -> EngineSetup:
     return EngineSetup(
         reader_type=reader_type, cfg=cfg, tables=specs,
         redo_logs=redo_logs, feed_dir=feed_dir,
-        event_table=src.get("event-table"),
+        event_table=_opt_str(src, "event-table", "source"),
         writer_type=writer_type, change_stream_dir=change_stream_dir,
         change_stream_format=fmt_type,
         message_mode="tx" if message == 1 else "op",

@@ -122,6 +122,55 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
         )
 
 
+def evolve_schema(schema, ddl: str, key_cols=()) -> "StructType":
+    """Pure StructType twin of _apply_ddl's schema effect, for WIRE use:
+    the change stream's SCHEMA_FORMAT_FULL section must advertise, per
+    DDL-scn slice, the schema in force at that slice's commit scns — the
+    table object only exposes the end-of-batch schema, so the pipeline
+    evolves the batch-start schema forward one DDL at a time.
+
+    Mirrors _apply_ddl verb for verb, including its skips (unknown type
+    token, malformed RENAME, RENAME/DROP of a key column), and is
+    DEFENSIVELY IDEMPOTENT (ADD of an existing column, RENAME onto an
+    existing name, DROP of a missing column are no-ops): on a retried
+    batch the start schema may already carry the DDLs, and re-evolving
+    must not diverge. TRUNCATE / DROP TABLE are lifecycle, not schema.
+    Returns the input schema object unchanged for every no-op."""
+    from pyspark.sql.types import StructField, StructType
+
+    parts = ddl.strip().split()
+    kind = parts[0].upper() if parts else ""
+    unit = parts[1].upper() if len(parts) > 1 else ""
+    keys = {k.lower() for k in key_cols}
+    fields = list(schema.fields)
+    names = {f.name for f in fields}
+    if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
+        t = _spark_type(parts[3])
+        if t is None or parts[2] in names:
+            return schema
+        return StructType(fields + [StructField(parts[2], t, True)])
+    if kind == "WIDEN" and len(parts) >= 3:
+        t = _spark_type(parts[2])
+        if t is None or parts[1] not in names:
+            return schema
+        return StructType([
+            StructField(f.name, t, f.nullable) if f.name == parts[1] else f
+            for f in fields])
+    if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
+        args = [p for p in parts[2:] if p.upper() != "TO"]
+        if (len(args) != 2 or args[0].lower() in keys
+                or args[0] not in names or args[1] in names):
+            return schema
+        return StructType([
+            StructField(args[1], f.dataType, f.nullable)
+            if f.name == args[0] else f for f in fields])
+    if kind == "DROP" and unit == "COLUMN" and len(parts) >= 3:
+        if parts[2].lower() in keys or parts[2] not in names:
+            return schema
+        return StructType([f for f in fields if f.name != parts[2]])
+    return schema
+
+
 def classify_ddl(ddl: str) -> str:
     """Classify a DDL text by its effect class (mirrors _apply_ddl's verb
     grammar; reference DDL types OpCode1801.cpp:50-57):

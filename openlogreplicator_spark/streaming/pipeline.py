@@ -365,6 +365,32 @@ class CDCStreamPipeline:
         from openlogreplicator_spark.operators.decode import unnest_multirow
 
         committed = unnest_multirow(committed).persist()
+
+        # SCHEMA_FORMAT_FULL (bit0): capture each target's schema BEFORE
+        # this batch's DDLs apply, so the change stream can advertise, per
+        # DDL-scn slice, the schema in force at each op's commit scn (wire
+        # parity with the scn-sliced primary apply; the reference re-emits
+        # the new schema only from the DDL boundary onward).
+        _schema_cols = None
+        pre_schemas: dict = {}
+        if (self.change_stream_dir is not None
+                and self.change_stream_fmt is not None
+                and getattr(self.change_stream_fmt,
+                            "schema_format", 0) & 1):
+            if self.change_stream_format == "protobuf":
+                from openlogreplicator_spark.sinks.protobuf_stream import (
+                    schema_columns_for as _schema_cols,
+                )
+            else:
+                from openlogreplicator_spark.sinks.json_stream import (
+                    json_schema_columns_for as _schema_cols,
+                )
+            if self.tables is not None:
+                pre_schemas = {n: t.schema()
+                               for n, t in self.tables.items()}
+            else:
+                pre_schemas = {None: self.table.schema()}
+
         try:
             if self.tables is not None:
                 summaries = []
@@ -404,47 +430,57 @@ class CDCStreamPipeline:
                 _kw = {"fmt": self.change_stream_fmt}
                 if not per_op and self.change_stream_max_ops:
                     _kw["max_ops_per_message"] = self.change_stream_max_ops
-                # SCHEMA_FORMAT_FULL (bit0, types.h:104-116): thread the
-                # target table's column definitions into the schema section.
-                # Recomputed per batch from the live manifest so mid-stream
-                # DDL (ADD/WIDEN/RENAME applied above) shows up in the very
-                # batch that carried it, like the reference's re-emitted
-                # schema messages.
-                _schema_cols = None
-                if (self.change_stream_fmt is not None
-                        and getattr(self.change_stream_fmt,
-                                    "schema_format", 0) & 1):
-                    if self.change_stream_format == "protobuf":
-                        from openlogreplicator_spark.sinks.protobuf_stream \
-                            import schema_columns_for as _schema_cols
-                    else:
-                        from openlogreplicator_spark.sinks.json_stream \
-                            import json_schema_columns_for as _schema_cols
+
+                def _msgs_for(part, tbl, name, tddls, **kc):
+                    """Serialize one table's slice of the batch. With the
+                    schema knob off: one map-only pass. With it on and no
+                    DDL in the batch: one pass, columns from the live
+                    manifest. With mid-batch DDL: one sub-frame per
+                    ddl_slice_bounds range, each advertising the schema in
+                    force at its commit scns (batch-start schema evolved
+                    forward per DDL — the same boundaries the primary and
+                    SCD2 applies slice on), unioned into the batch file."""
+                    if _schema_cols is None:
+                        return _messages(part, self.cfg, **kc, **_kw)
+                    tddls = sorted(tddls)
+                    if not tddls:
+                        kw = dict(_kw,
+                                  schema_columns=_schema_cols(tbl.schema()))
+                        return _messages(part, self.cfg, **kc, **kw)
+                    from openlogreplicator_spark.plans.replay import (
+                        ddl_slice_bounds,
+                        evolve_schema,
+                        slice_by_scn,
+                    )
+                    sch = pre_schemas[name]
+                    out = None
+                    for sub, (lo, hi) in enumerate(ddl_slice_bounds(tddls)):
+                        if sub > 0:
+                            sch = evolve_schema(sch, tddls[sub - 1][1],
+                                                tbl.key_cols)
+                        kw = dict(_kw, schema_columns=_schema_cols(sch))
+                        f = _messages(slice_by_scn(part, lo, hi),
+                                      self.cfg, **kc, **kw)
+                        out = f if out is None else out.unionByName(f)
+                    return out
 
                 if self.tables is not None:
                     # per-table serialization: each table's messages carry
                     # ITS key columns (per-table key overrides), in a
                     # per-table subdir
                     for name, tbl in self.tables.items():
-                        _tkw = dict(_kw)
-                        if _schema_cols is not None:
-                            _tkw["schema_columns"] = _schema_cols(
-                                tbl.schema())
                         _write(
-                            _messages(
+                            _msgs_for(
                                 committed.where(F.col("table") == name),
-                                self.cfg, key_cols=tuple(tbl.key_cols),
-                                **_tkw,
+                                tbl, name, ddls_by_table.get(name, []),
+                                key_cols=tuple(tbl.key_cols),
                             ),
                             os.path.join(self.change_stream_dir, name,
                                          f"batch_{batch_id}"),
                         )
                 else:
-                    if _schema_cols is not None:
-                        _kw["schema_columns"] = _schema_cols(
-                            self.table.schema())
                     _write(
-                        _messages(committed, self.cfg, **_kw),
+                        _msgs_for(committed, self.table, None, ddls),
                         os.path.join(self.change_stream_dir,
                                      f"batch_{batch_id}"),
                     )

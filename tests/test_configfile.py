@@ -115,14 +115,15 @@ def test_reference_shaped_knobs_port_with_notes():
 
 
 def test_writer_start_and_format_bits_map():
-    # format/message knobs shape the change stream -> online reader
+    # format/message knobs shape the change stream -> online + file writer
     d = _doc()
     d["sources"][0]["reader"] = {"type": "online", "feed-dir": "/tmp/feed"}
     d["sources"][0]["format"].update(
         {"type": "protobuf", "message": 1, "scn": 1, "timestamp": 1,
          "xid": 1, "schema": 5})
     d["targets"][0]["writer"].update(
-        {"start-scn": 1000, "start-seq": 2, "max-messages": 100,
+        {"type": "file", "name": "/tmp/stream",
+         "start-scn": 1000, "start-seq": 2, "max-messages": 100,
          "state-dir": "/tmp/state", "checkpoint-dir": "/tmp/ckpt"})
     s = parse_config(d)
     assert s.change_stream_format == "protobuf"
@@ -208,6 +209,68 @@ def test_batch_reader_refuses_online_only_knobs():
     with pytest.raises(ConfigError) as ei:
         parse_config(d)
     assert "redo-logs" in str(ei.value)
+
+
+def test_lake_writer_refuses_change_stream_knobs():
+    """The format bits need an actual change stream: online reader + lake
+    writer accepted every bit and silently dropped them all (round-5 review
+    finding); max-messages additionally requires per-tx message mode (the
+    per-op stream has nothing to split)."""
+    def online(d):
+        d["sources"][0]["reader"] = {"type": "online",
+                                     "feed-dir": "/tmp/f"}
+        d["targets"][0]["writer"].update({"state-dir": "/tmp/s",
+                                          "checkpoint-dir": "/tmp/c"})
+        return d
+
+    for mutate in (
+            lambda d: d["sources"][0]["format"].update({"schema": 1}),
+            lambda d: d["sources"][0]["format"].update({"message": 1}),
+            lambda d: d["targets"][0]["writer"].update(
+                {"max-messages": 9})):
+        d = online(_doc())
+        mutate(d)
+        with pytest.raises(ConfigError) as ei:
+            parse_config(d)
+        assert "file" in str(ei.value)
+    # max-messages with the per-op stream: refused even on the file writer
+    d = online(_doc())
+    d["targets"][0]["writer"].update({"type": "file", "name": "/tmp/cs",
+                                      "max-messages": 9})
+    with pytest.raises(ConfigError) as ei:
+        parse_config(d)
+    assert "message" in str(ei.value)
+    # the fixed combination parses
+    d = online(_doc())
+    d["sources"][0]["format"].update({"message": 1})
+    d["targets"][0]["writer"].update({"type": "file", "name": "/tmp/cs",
+                                      "max-messages": 9})
+    assert parse_config(d).max_ops_per_message == 9
+
+
+def test_path_knobs_must_be_strings():
+    """tables[] path knobs and event-table fail at parse on non-string
+    values instead of crashing mid-bootstrap with the target table already
+    created (round-5 review finding)."""
+    cases = [
+        lambda d: d["sources"][0]["tables"][0].update({"history": 123}),
+        lambda d: d["sources"][0]["tables"][0].update({"target": None}),
+        lambda d: d["sources"][0]["tables"][0].update({"table": 7}),
+        lambda d: d["sources"][0]["tables"][0].update(
+            {"conversations": ""}),
+    ]
+    for mutate in cases:
+        d = _doc()
+        mutate(d)
+        with pytest.raises(ConfigError, match="non-empty string"):
+            parse_config(d)
+    d = _doc()
+    d["sources"][0]["reader"] = {"type": "online", "feed-dir": "/tmp/f"}
+    d["sources"][0]["event-table"] = 777
+    d["targets"][0]["writer"].update({"state-dir": "/tmp/s",
+                                      "checkpoint-dir": "/tmp/c"})
+    with pytest.raises(ConfigError, match="event-table"):
+        parse_config(d)
 
 
 def test_refused_run_config_bootstraps_nothing(spark, tmp_path):

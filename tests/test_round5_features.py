@@ -318,3 +318,86 @@ def test_pipeline_threads_schema_columns_protobuf(spark, tmp_path):
             assert p["columns"] == want
             seen += 1
     assert seen > 0
+
+
+def test_change_stream_schema_sliced_by_ddl(spark, tmp_path):
+    """A batch carrying 'ADD COLUMN meta string' mid-batch: messages whose
+    commit scn precedes the DDL advertise the pre-DDL column list; messages
+    after it carry 'meta' — the change stream slices on the same
+    ddl_slice_bounds as the primary apply, instead of stamping the
+    end-of-batch schema on every message (round-5 review finding)."""
+    import glob
+    import os
+
+    from openlogreplicator_spark.plans.replay import bootstrap_target
+    from openlogreplicator_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = EngineConfig(num_buckets=4)
+    feed = generate_change_events(
+        spark, n_txs=60, n_convs=10, seed=97, with_ddl=True,
+    ).localCheckpoint()
+    add_scn = min(r["scn"] for r in feed.where("op = 'DDL'").collect())
+
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    cs_dir = str(tmp_path / "cs")
+    pipe = CDCStreamPipeline(table, cfg, str(tmp_path / "state"),
+                             change_stream_dir=cs_dir,
+                             change_stream_fmt=JsonFormat(schema_format=1))
+    pipe.process_batch(feed, 0)  # the DDL lands MID-batch
+
+    pre = post = 0
+    for r in spark.read.text(
+            *sorted(glob.glob(os.path.join(cs_dir, "batch_*")))).collect():
+        m = json.loads(r["value"])
+        for p in m["payload"]:
+            names = [c["name"] for c in p["schema"]["columns"]]
+            if m["scn"] <= add_scn:
+                assert "meta" not in names, m["scn"]
+                pre += 1
+            else:
+                assert "meta" in names, m["scn"]
+                post += 1
+    assert pre > 0 and post > 0
+
+
+def test_evolve_schema_mirrors_apply_ddl():
+    """evolve_schema is the pure twin of _apply_ddl: same verbs, same
+    skips (unknown types, malformed RENAME, key-column RENAME/DROP), and
+    defensively idempotent for the retried-batch path."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from openlogreplicator_spark.plans.replay import evolve_schema
+
+    base = StructType([
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("text", StringType(), True),
+    ])
+    keys = ("conv_id", "turn_idx")
+
+    s = evolve_schema(base, "ADD COLUMN meta string", keys)
+    assert [f.name for f in s.fields] == ["conv_id", "turn_idx", "text",
+                                          "meta"]
+    # idempotent re-apply (retried batch whose start schema has the DDL)
+    assert evolve_schema(s, "ADD COLUMN meta string", keys) is s
+
+    w = evolve_schema(base, "WIDEN turn_idx bigint", keys)
+    assert dict((f.name, f.dataType) for f in w.fields)["turn_idx"] == \
+        LongType()
+    assert evolve_schema(base, "WIDEN nosuch bigint", keys) is base
+    assert evolve_schema(base, "WIDEN turn_idx blob", keys) is base
+
+    r = evolve_schema(base, "RENAME COLUMN text TO body", keys)
+    assert [f.name for f in r.fields] == ["conv_id", "turn_idx", "body"]
+    # key-column rename/drop: the primary skips, so does the wire schema
+    assert evolve_schema(base, "RENAME COLUMN conv_id TO cid", keys) is base
+    assert evolve_schema(base, "DROP COLUMN turn_idx", keys) is base
+    d = evolve_schema(base, "DROP COLUMN text", keys)
+    assert [f.name for f in d.fields] == ["conv_id", "turn_idx"]
+    assert evolve_schema(d, "DROP COLUMN text", keys) is d
+    # lifecycle / unknown verbs: schema untouched
+    for ddl in ("TRUNCATE TABLE transcripts", "DROP TABLE transcripts",
+                "FROBNICATE x"):
+        assert evolve_schema(base, ddl, keys) is base
