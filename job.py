@@ -43,7 +43,7 @@ def main(argv: list[str]) -> None:
                                   "engine config JSON path (config mode — "
                                   "the OpenLogReplicator.json analog, see "
                                   "openlogreplicator_spark/configfile.py)")
-    p.add_argument("--n-txs", type=int, default=2000)
+    p.add_argument("--n-txs", type=int)  # replay default 2000
     p.add_argument("--with-ddl", action="store_true")
     p.add_argument("--feed-dir")
     p.add_argument("--checkpoint")
@@ -98,6 +98,64 @@ def main(argv: list[str]) -> None:
                     "cadences run in stream mode only (replay is the "
                     "bounded primary-table path; use --expire-keep for "
                     "its one-shot post-run expiry)")
+        # same accepted-but-ignored contract for the streaming-only knobs:
+        # replay generates its own bounded feed and runs one batch
+        ignored = [
+            f for f, v in (("--feed-dir", args.feed_dir),
+                           ("--checkpoint", args.checkpoint),
+                           ("--state-dir", args.state_dir))
+            if v
+        ]
+        if ignored:
+            p.error(f"{' '.join(ignored)}: stream-mode knobs (replay "
+                    "generates a bounded synthetic feed and keeps no "
+                    "streaming state)")
+
+    if args.mode == "stream":
+        # the feed-generation knobs drive replay's synthetic feed only;
+        # stream mode tails --feed-dir, and streaming assigns batch ids
+        ignored = [
+            f for f, v in (("--n-txs", args.n_txs),
+                           ("--with-ddl", args.with_ddl or None),
+                           ("--batch-id", args.batch_id or None))
+            if v is not None
+        ]
+        if ignored:
+            p.error(f"{' '.join(ignored)}: replay-mode knobs (stream "
+                    "tails --feed-dir and assigns batch ids itself)")
+
+    if args.mode == "config":
+        # the config FILE owns every engine knob (the reference's one-JSON
+        # UX); a CLI flag beside it would be accepted-but-ignored — refuse,
+        # pointing at the config section that owns it. --batch-id stays: it
+        # is run_config's own parameter, not a config-file field.
+        owned = [
+            f for f, v in (
+                ("--n-txs", args.n_txs),
+                ("--with-ddl", args.with_ddl or None),
+                ("--feed-dir", args.feed_dir),
+                ("--checkpoint", args.checkpoint),
+                ("--state-dir", args.state_dir),
+                ("--start-scn", args.start_scn),
+                ("--start-seq", args.start_seq),
+                ("--start-ts", args.start_ts),
+                ("--change-stream-dir", args.change_stream_dir),
+                ("--history-dir", args.history_dir),
+                ("--history-open-dir", args.history_open_dir),
+                ("--conversations-dir", args.conversations_dir),
+                ("--expire-keep", args.expire_keep),
+                ("--expire-every", args.expire_every),
+                ("--compact-every", args.compact_every),
+            ) if v is not None
+        ]
+        if args.merge_mode != "cow":
+            owned.append("--merge-mode")
+        if args.change_stream_format != "json":
+            owned.append("--change-stream-format")
+        if owned:
+            p.error(f"{' '.join(owned)}: config mode takes every engine "
+                    "knob from the JSON file (reader/format/tables/lake/"
+                    "writer sections) — move it there")
 
     if args.mode == "config":
         # config-file entry point (the reference's only UX: main() builds
@@ -141,7 +199,7 @@ def main(argv: list[str]) -> None:
             else bootstrap_target(args.target, cfg)
         )
         events = generate_change_events(
-            spark, n_txs=args.n_txs, with_ddl=args.with_ddl
+            spark, n_txs=args.n_txs or 2000, with_ddl=args.with_ddl
         )
         summaries = replay_batch(
             spark, events, table, cfg, batch_id=args.batch_id
