@@ -48,7 +48,7 @@ def main(argv: list[str]) -> None:
     p.add_argument("--feed-dir")
     p.add_argument("--checkpoint")
     p.add_argument("--state-dir")
-    p.add_argument("--batch-id", type=int, default=0)
+    p.add_argument("--batch-id", type=int)  # replay/config default 0
     # start-position modes (OLR start by scn/seq/timestamp,
     # OpenLogReplicator.cpp:661-704) — pushed-down feed predicates
     p.add_argument("--start-scn", type=int)
@@ -110,6 +110,13 @@ def main(argv: list[str]) -> None:
             p.error(f"{' '.join(ignored)}: stream-mode knobs (replay "
                     "generates a bounded synthetic feed and keeps no "
                     "streaming state)")
+        if args.compact_every is not None:
+            p.error("--compact-every: streaming MoR compaction cadence "
+                    "(replay runs one post-run COMPACT under "
+                    "--merge-mode mor)")
+        if args.change_stream_format != "json":
+            p.error("--change-stream-format: meaningless without "
+                    "--change-stream-dir, which runs in stream mode only")
 
     if args.mode == "stream":
         # the feed-generation knobs drive replay's synthetic feed only;
@@ -117,7 +124,7 @@ def main(argv: list[str]) -> None:
         ignored = [
             f for f, v in (("--n-txs", args.n_txs),
                            ("--with-ddl", args.with_ddl or None),
-                           ("--batch-id", args.batch_id or None))
+                           ("--batch-id", args.batch_id))
             if v is not None
         ]
         if ignored:
@@ -156,8 +163,6 @@ def main(argv: list[str]) -> None:
             p.error(f"{' '.join(owned)}: config mode takes every engine "
                     "knob from the JSON file (reader/format/tables/lake/"
                     "writer sections) — move it there")
-
-    if args.mode == "config":
         # config-file entry point (the reference's only UX: main() builds
         # everything from OpenLogReplicator.json). Parse BEFORE the Spark
         # session: a bad config fails in milliseconds, like CONFIG_FAIL.
@@ -165,7 +170,7 @@ def main(argv: list[str]) -> None:
 
         setup = load_config(args.target)
         spark = build_spark("olr-cdc-config")
-        out = run_config(spark, setup, batch_id=args.batch_id)
+        out = run_config(spark, setup, batch_id=args.batch_id or 0)
         for name, table in out["tables"]["targets"].items():
             print("ROWS", name, table.read(spark).count())
         for section in ("history", "conversations"):
@@ -199,15 +204,17 @@ def main(argv: list[str]) -> None:
             else bootstrap_target(args.target, cfg)
         )
         events = generate_change_events(
-            spark, n_txs=args.n_txs or 2000, with_ddl=args.with_ddl
+            spark, n_txs=2000 if args.n_txs is None else args.n_txs,
+            with_ddl=args.with_ddl
         )
         summaries = replay_batch(
-            spark, events, table, cfg, batch_id=args.batch_id
+            spark, events, table, cfg, batch_id=args.batch_id or 0
         )
         for s in summaries:
             print("APPLY", json.dumps(s))
         # idempotent retry: the same batch id must be skipped (write-audit)
-        retry = replay_batch(spark, events, table, cfg, batch_id=args.batch_id)
+        retry = replay_batch(spark, events, table, cfg,
+                             batch_id=args.batch_id or 0)
         for s in retry:
             print("RETRY", json.dumps(s))
         print("ROWS", table.read(spark).count())

@@ -416,6 +416,13 @@ def parse_config(doc: dict) -> EngineSetup:
             "bad JSON, format knobs (\"message\", \"scn\", \"timestamp\", "
             "\"xid\", \"schema\", writer \"max-messages\") shape the "
             "change stream, which runs with the \"file\" writer only")
+    if writer_type != "file" and fmt_type != "json":
+        # a non-default serialization with no change stream to serialize
+        # is the same silent no-op as the bits above
+        raise ConfigError(
+            "bad JSON, format \"type\" \"protobuf\" selects the "
+            "change-stream serialization, which runs with the \"file\" "
+            "writer only (the \"lake\" writer's sink is the MERGE target)")
     if "max-messages" in wr and message == 0:
         # the M1 split budget divides per-TRANSACTION messages; in per-op
         # mode every message is one op and the knob silently does nothing

@@ -329,6 +329,35 @@ class LakeTable:
     def schema(self) -> StructType:
         return StructType.fromJson(self.manifest()["schema"])
 
+    def schema_before_batch(self, batch_id: int) -> StructType:
+        """Schema in force before composite batch ``batch_id`` began
+        applying (apply_committed stamps merges with batch_id*1024+sub;
+        DDL alters carry their parent's watermark). On a FIRST attempt this
+        is just the current schema (the table's watermark is still below
+        the batch); on a REPLAYED batch — crash after this batch's merges,
+        Structured Streaming re-runs it — the current schema already
+        carries the batch's DDLs, so walk the retained snapshots back to
+        the newest one whose watermark precedes the batch. The change
+        stream uses this to re-serialize a replayed batch's pre-DDL slices
+        with the SAME schema sections as the original write (round-5
+        review finding: capturing the live schema broke the byte-identical
+        replay contract). If retention expired every pre-batch snapshot,
+        degrades to the oldest surviving schema (the closest recoverable
+        ancestor)."""
+        lo = batch_id * 1024
+        m = self.manifest()
+        if int(m["last_batch_id"]) < lo:
+            return StructType.fromJson(m["schema"])
+        for v in range(self.current_version() - 1, -1, -1):
+            try:
+                mv = self.manifest(v)
+            except FileNotFoundError:
+                break  # expired below this point
+            m = mv
+            if int(mv["last_batch_id"]) < lo:
+                break
+        return StructType.fromJson(m["schema"])
+
     @staticmethod
     def _fids(m: dict, sid: int) -> dict:
         """Field-id map {column name at sid -> stable id}. Tables created

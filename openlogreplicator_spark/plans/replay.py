@@ -52,6 +52,25 @@ def _commit_watermark(table: LakeTable, composite: int,
     table.commit_watermark(composite, summary)
 
 
+def _ddl_tokens(ddl: str) -> "tuple[list, str, str]":
+    """Shared tokenizer for the engine's DDL grammar: (parts, KIND, UNIT).
+    Seven consumers (_apply_ddl, classify_ddl, ddl_introduced_column,
+    ddl_removed_columns, ddl_source_columns, ddl_applied, evolve_schema)
+    parse the same verbs — one tokenizer keeps them from drifting
+    (round-5 review finding: each had its own copy)."""
+    parts = ddl.strip().split()
+    kind = parts[0].upper() if parts else ""
+    unit = parts[1].upper() if len(parts) > 1 else ""
+    return parts, kind, unit
+
+
+def _rename_args(parts: list) -> "list | None":
+    """RENAME COLUMN's (old, new) with the optional TO dropped; None when
+    malformed (every consumer treats malformed as log-and-skip/no-op)."""
+    args = [p for p in parts[2:] if p.upper() != "TO"]
+    return args if len(args) == 2 else None
+
+
 def _apply_ddl(table: LakeTable, ddl: str) -> None:
     """Apply one DDL event to the target (schema evolution + lifecycle).
 
@@ -69,9 +88,7 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
     """
     import logging
 
-    parts = ddl.strip().split()
-    kind = parts[0].upper() if parts else ""
-    unit = parts[1].upper() if len(parts) > 1 else ""
+    parts, kind, unit = _ddl_tokens(ddl)
     log = logging.getLogger(__name__)
     if kind == "ADD" and len(parts) >= 4 and unit == "COLUMN":
         t = _spark_type(parts[3])
@@ -95,8 +112,8 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
             return
         table.alter_widen(parts[1], t)
     elif kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
-        args = [p for p in parts[2:] if p.upper() != "TO"]
-        if len(args) != 2:
+        args = _rename_args(parts)
+        if args is None:
             log.warning("skipping malformed RENAME COLUMN: %r", ddl)
             return
         try:
@@ -138,36 +155,46 @@ def evolve_schema(schema, ddl: str, key_cols=()) -> "StructType":
     Returns the input schema object unchanged for every no-op."""
     from pyspark.sql.types import StructField, StructType
 
-    parts = ddl.strip().split()
-    kind = parts[0].upper() if parts else ""
-    unit = parts[1].upper() if len(parts) > 1 else ""
+    parts, kind, unit = _ddl_tokens(ddl)
     keys = {k.lower() for k in key_cols}
     fields = list(schema.fields)
-    names = {f.name for f in fields}
+    # case-insensitive name resolution, matching the lake alters (lake.py
+    # alter_* resolve like Spark's default resolver — round-5 review
+    # finding: a case-variant DDL applied to the table but no-opped here,
+    # diverging the wire schema from the table for the carrying batch)
+    lmap = {f.name.lower(): f.name for f in fields}
     if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
         t = _spark_type(parts[3])
-        if t is None or parts[2] in names:
+        if t is None or parts[2].lower() in lmap:
             return schema
         return StructType(fields + [StructField(parts[2], t, True)])
     if kind == "WIDEN" and len(parts) >= 3:
         t = _spark_type(parts[2])
-        if t is None or parts[1] not in names:
+        actual = lmap.get(parts[1].lower())
+        if t is None or actual is None:
             return schema
         return StructType([
-            StructField(f.name, t, f.nullable) if f.name == parts[1] else f
+            StructField(f.name, t, f.nullable) if f.name == actual else f
             for f in fields])
     if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
-        args = [p for p in parts[2:] if p.upper() != "TO"]
-        if (len(args) != 2 or args[0].lower() in keys
-                or args[0] not in names or args[1] in names):
+        args = _rename_args(parts)
+        if args is None or args[0].lower() in keys:
+            return schema
+        actual = lmap.get(args[0].lower())
+        tgt = lmap.get(args[1].lower())
+        # missing source (retried rename) or a conflict with a DIFFERENT
+        # existing field: no-op; a case-only rename of the same field is
+        # allowed, like alter_rename_column
+        if actual is None or (tgt is not None and tgt != actual):
             return schema
         return StructType([
             StructField(args[1], f.dataType, f.nullable)
-            if f.name == args[0] else f for f in fields])
+            if f.name == actual else f for f in fields])
     if kind == "DROP" and unit == "COLUMN" and len(parts) >= 3:
-        if parts[2].lower() in keys or parts[2] not in names:
+        actual = lmap.get(parts[2].lower())
+        if parts[2].lower() in keys or actual is None:
             return schema
-        return StructType([f for f in fields if f.name != parts[2]])
+        return StructType([f for f in fields if f.name != actual])
     return schema
 
 
@@ -187,16 +214,13 @@ def classify_ddl(ddl: str) -> str:
     batch over a DDL the primary itself treats as a no-op (a no-op DDL
     must not brick the stream).
     """
-    parts = ddl.strip().split()
-    kind = parts[0].upper() if parts else ""
-    unit = parts[1].upper() if len(parts) > 1 else ""
+    parts, kind, unit = _ddl_tokens(ddl)
     if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
         return "column" if _spark_type(parts[3]) is not None else "other"
     if kind == "WIDEN" and len(parts) >= 3:
         return "column" if _spark_type(parts[2]) is not None else "other"
     if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
-        args = [p for p in parts[2:] if p.upper() != "TO"]
-        return "column" if len(args) == 2 else "other"
+        return "column" if _rename_args(parts) is not None else "other"
     if kind == "DROP" and unit == "COLUMN" and len(parts) >= 3:
         return "column"
     if kind == "TRUNCATE" and unit in ("", "TABLE", "PARTITION"):
@@ -211,14 +235,12 @@ def ddl_introduced_column(ddl: str) -> str | None:
     column, RENAME's new name) or None. Side-output preflight uses this to
     refuse collisions with the SCD2 bookkeeping columns (valid_from/
     valid_to/is_current) before anything applies."""
-    parts = ddl.strip().split()
-    kind = parts[0].upper() if parts else ""
-    unit = parts[1].upper() if len(parts) > 1 else ""
+    parts, kind, unit = _ddl_tokens(ddl)
     if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
         return parts[2]
     if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
-        args = [p for p in parts[2:] if p.upper() != "TO"]
-        if len(args) == 2:
+        args = _rename_args(parts)
+        if args is not None:
             return args[1]
     return None
 
@@ -228,14 +250,12 @@ def ddl_removed_columns(ddl: str) -> tuple[str, ...]:
     target, RENAME's old name). The rollup view's preflight refuses these
     when they are view inputs — the view would silently diverge (or crash
     mid-batch) otherwise."""
-    parts = ddl.strip().split()
-    kind = parts[0].upper() if parts else ""
-    unit = parts[1].upper() if len(parts) > 1 else ""
+    parts, kind, unit = _ddl_tokens(ddl)
     if kind == "DROP" and unit == "COLUMN" and len(parts) >= 3:
         return (parts[2],)
     if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
-        args = [p for p in parts[2:] if p.upper() != "TO"]
-        if len(args) == 2:
+        args = _rename_args(parts)
+        if args is not None:
             return (args[0],)
     return ()
 
@@ -263,9 +283,7 @@ def ddl_applied(table: LakeTable, ddl: str) -> bool:
     AnalysisException loop). Comparisons are case-insensitive to match
     Spark's default resolver. Non-column DDL returns True (no schema state
     to converge on)."""
-    parts = ddl.strip().split()
-    kind = parts[0].upper() if parts else ""
-    unit = parts[1].upper() if len(parts) > 1 else ""
+    parts, kind, unit = _ddl_tokens(ddl)
     names = {f.name.lower(): f for f in table.schema().fields}
     if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
         return parts[2].lower() in names
@@ -274,8 +292,8 @@ def ddl_applied(table: LakeTable, ddl: str) -> bool:
         t = _spark_type(parts[2])
         return f is None or t is None or f.dataType == t
     if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
-        args = [p for p in parts[2:] if p.upper() != "TO"]
-        if len(args) != 2:
+        args = _rename_args(parts)
+        if args is None:
             return True
         # old gone = renamed already (or never existed -> primary no-op)
         return args[0].lower() not in names

@@ -385,11 +385,16 @@ class CDCStreamPipeline:
                 from openlogreplicator_spark.sinks.json_stream import (
                     json_schema_columns_for as _schema_cols,
                 )
+            # schema_before_batch, not schema(): on a REPLAYED batch the
+            # live schema already carries this batch's DDLs, and the
+            # re-serialized pre-DDL slices must advertise the same column
+            # lists the original write did (byte-identical replay)
             if self.tables is not None:
-                pre_schemas = {n: t.schema()
+                pre_schemas = {n: t.schema_before_batch(batch_id)
                                for n, t in self.tables.items()}
             else:
-                pre_schemas = {None: self.table.schema()}
+                pre_schemas = {None: self.table.schema_before_batch(
+                    batch_id)}
 
         try:
             if self.tables is not None:

@@ -240,6 +240,12 @@ def test_lake_writer_refuses_change_stream_knobs():
     with pytest.raises(ConfigError) as ei:
         parse_config(d)
     assert "message" in str(ei.value)
+    # format "type": "protobuf" without a change stream: same refusal
+    d = online(_doc())
+    d["sources"][0]["format"] = {"type": "protobuf"}
+    with pytest.raises(ConfigError) as ei:
+        parse_config(d)
+    assert "file" in str(ei.value)
     # the fixed combination parses
     d = online(_doc())
     d["sources"][0]["format"].update({"message": 1})

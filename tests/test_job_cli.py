@@ -19,7 +19,9 @@ def test_replay_refuses_stream_only_flags():
                       ("--expire-every", "2"),
                       ("--feed-dir", "/tmp/f"),
                       ("--checkpoint", "/tmp/c"),
-                      ("--state-dir", "/tmp/s")):
+                      ("--state-dir", "/tmp/s"),
+                      ("--compact-every", "4"),
+                      ("--change-stream-format", "protobuf")):
         _fails(["replay", "/tmp/t", flag, val])
 
 
@@ -29,6 +31,7 @@ def test_stream_refuses_replay_only_flags():
     _fails(base + ["--n-txs", "500"])
     _fails(base + ["--with-ddl"])
     _fails(base + ["--batch-id", "3"])
+    _fails(base + ["--batch-id", "0"])  # explicit 0 refused too
 
 
 def test_config_refuses_engine_flags():
