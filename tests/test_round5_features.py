@@ -4,7 +4,13 @@
     SCHEMA_FORMAT_FULL/OBJ bits rendered by OutputBufferJson.cpp:226-372) —
     defaults byte-identical to round 4;
   * SCD2 side-output on a merge-on-read history table: batch-split
-    equivalence with compaction mid-sequence (round-4 verdict item 8).
+    equivalence with compaction mid-sequence (round-4 verdict item 8);
+  * streaming snapshot-retention cadence stays bounded without changing
+    semantics;
+  * schema bit0 threaded end-to-end through the pipeline (JSON and
+    protobuf), DDL-scn-SLICED so each message advertises the schema in
+    force at its commit scn, case-insensitive like the lake alters, and
+    replay-stable via LakeTable.schema_before_batch.
 """
 
 import json
@@ -476,3 +482,34 @@ def test_change_stream_schema_stable_on_replayed_batch(spark, tmp_path):
                               change_stream_fmt=JsonFormat(schema_format=1))
     pipe2.process_batch(feed, 0)
     assert snap() == first
+
+
+def test_schema_before_batch_degrades_after_expiry(spark, tmp_path):
+    """schema_before_batch walks retained snapshots; when retention expired
+    every pre-batch manifest it degrades to the oldest surviving schema
+    instead of crashing — and on a table whose watermark precedes the
+    batch it is just the current schema with no walk."""
+    from openlogreplicator_spark.plans.replay import (
+        apply_committed,
+        bootstrap_target,
+    )
+
+    cfg = EngineConfig(num_buckets=4)
+    table = bootstrap_target(str(tmp_path / "t"), cfg)
+    # fresh table: watermark -1 < any batch -> current schema
+    assert table.schema_before_batch(0).fieldNames() == \
+        table.schema().fieldNames()
+
+    surv = _assembled(spark, seed=43).localCheckpoint()
+    apply_committed(spark, surv, [(0, "ADD COLUMN extra string")], table,
+                    cfg, batch_id=5)
+    # batch 5 applied the DDL; batch-start schema (recovered from history)
+    # lacks it, current has it
+    assert "extra" not in table.schema_before_batch(5).fieldNames()
+    assert "extra" in table.schema()\
+        .fieldNames()
+    # expire everything but the newest: the pre-batch manifest is gone,
+    # degrade to the oldest surviving schema without crashing
+    table.expire_snapshots(keep_last=1)
+    got = table.schema_before_batch(5)
+    assert "conv_id" in got.fieldNames()
