@@ -130,6 +130,11 @@ def main(argv: list[str]) -> None:
         if ignored:
             p.error(f"{' '.join(ignored)}: replay-mode knobs (stream "
                     "tails --feed-dir and assigns batch ids itself)")
+        if args.expire_keep is not None and args.expire_every is None:
+            p.error("--expire-keep requires --expire-every in stream mode "
+                    "(the retention cadence that consumes it; replay mode "
+                    "uses --expire-keep alone for its one-shot post-run "
+                    "expiry)")
 
     if args.mode == "config":
         # the config FILE owns every engine knob (the reference's one-JSON

@@ -82,6 +82,13 @@ _NOTED_WRITER_KEYS = {
 
 def _check_keys(obj: dict, where: str, required: tuple = (),
                 optional: tuple = (), noted: dict | None = None) -> None:
+    if not isinstance(obj, dict):
+        # a string section would otherwise pass `"type" in obj` as a
+        # SUBSTRING test and fail later with a raw TypeError — everything
+        # malformed must fail with the reference-style ConfigError
+        raise ConfigError(
+            f"bad JSON, {where} must be an object, got "
+            f"{type(obj).__name__}")
     for k in required:
         if k not in obj:
             raise ConfigError(f"bad JSON, missing \"{k}\" in {where}")
@@ -331,6 +338,12 @@ def parse_config(doc: dict) -> EngineSetup:
         raise ConfigError(
             f"bad JSON, invalid \"merge-mode\" value: {merge_mode!r}, "
             "expected one of: {cow, mor}")
+    if "expire-keep" in lk and "expire-every" not in lk:
+        # the retention depth only matters when the cadence fires —
+        # accepting it alone would silently never expire anything
+        raise ConfigError(
+            "bad JSON, \"expire-keep\" requires \"expire-every\" (the "
+            "retention cadence that consumes it)")
 
     # ---- target / writer -------------------------------------------------
     tgt = targets[0]

@@ -531,7 +531,16 @@ class LakeTable:
                     raise CommitConflict(
                         f"manifest v{v} committed by a concurrent writer")
                 lk.assert_held()
-                os.unlink(mpath)
+                try:
+                    os.unlink(mpath)
+                except FileNotFoundError:
+                    # a displaced holder's resumed orphan-replace unlinked
+                    # it in the window since our exclusive-write failed —
+                    # the orphan is gone either way; fall through to the
+                    # re-create, whose token check below still fences a
+                    # swapped-in foreign manifest (round-5 review finding:
+                    # this race aborted the batch instead of retrying)
+                    pass
                 if not _atomic_write_exclusive(mpath, payload):
                     raise CommitConflict(
                         f"manifest v{v} recreated concurrently")

@@ -52,7 +52,19 @@ def net_changes(
         F.max(F.when(F.col("op") != "D", o)).alias("_last_w"),
     ] + list(extra_aggs or [])
     for c in payload_cols:
-        present = F.array_contains(F.coalesce(F.col("cols_set"), F.array().cast("array<string>")), c)
+        # case-insensitive set-membership, matching getField's resolver: a
+        # case-variant ADD COLUMN leaves the canonical (table) name and the
+        # feed's cols_set entries differing only by case (round-5 review
+        # finding: array_contains compares VALUES case-sensitively, so the
+        # column was never seen as set)
+        present = F.array_contains(
+            F.transform(
+                F.coalesce(F.col("cols_set"),
+                           F.array().cast("array<string>")),
+                F.lower,
+            ),
+            F.lit(c.lower()),
+        )
         aggs.append(
             F.max(
                 F.when(

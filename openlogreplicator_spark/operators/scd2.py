@@ -136,9 +136,16 @@ def scd2_history(
     we = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     state_cols = []
     for c in payload_cols:
+        # case-insensitive set-membership, like net_changes (the feed's
+        # cols_set entries may differ from the canonical table name only
+        # by case after a case-variant ADD COLUMN)
         present = (F.col("op") != "D") & F.array_contains(
-            F.coalesce(F.col("cols_set"), F.array().cast("array<string>")),
-            c,
+            F.transform(
+                F.coalesce(F.col("cols_set"),
+                           F.array().cast("array<string>")),
+                F.lower,
+            ),
+            F.lit(c.lower()),
         )
         wrapped = F.when(
             present,

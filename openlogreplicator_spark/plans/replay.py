@@ -267,8 +267,7 @@ def ddl_source_columns(ddl: str) -> tuple[str, ...]:
     column (it would have collided at bootstrap) and no-ops the DDL, so the
     side outputs must no-op it too instead of dropping/renaming their own
     machinery (round-5 review finding)."""
-    parts = ddl.strip().split()
-    kind = parts[0].upper() if parts else ""
+    parts, kind, _unit = _ddl_tokens(ddl)
     if kind == "WIDEN" and len(parts) >= 3:
         return (parts[1],)
     return ddl_removed_columns(ddl)
@@ -456,9 +455,14 @@ def _merge_slice(
     # name them, so they stay unset — the merge null-fills, exactly Iceberg's
     # read-time behavior for pre-evolution files.
     after_fields = [f.name for f in part.schema["after"].dataType.fields]
+    # case-INSENSITIVE presence check, matching getField's resolver: a
+    # case-variant 'ADD COLUMN META' over a feed carrying after.meta must
+    # not pad a second case-variant NULL field (getField('META') would
+    # then raise AMBIGUOUS_REFERENCE — round-5 review finding)
+    after_l = {n.lower() for n in after_fields}
     missing = [
         f for f in table.schema().fields
-        if f.name in payload_cols and f.name not in after_fields
+        if f.name in payload_cols and f.name.lower() not in after_l
     ]
     if missing:
         part = part.withColumn(

@@ -186,10 +186,11 @@ def _apply_side_ddl(table: LakeTable, ddl: str) -> None:
 
     from openlogreplicator_spark.plans.replay import (
         _apply_ddl,
+        _ddl_tokens,
         ddl_source_columns,
     )
 
-    verb = ddl.strip().split()[0].upper() if ddl.strip() else ""
+    _parts, verb, _unit = _ddl_tokens(ddl)
     guarded = set(SCD2_META_COLS)
     if verb != "WIDEN":
         guarded |= {k.lower() for k in table.key_cols}
@@ -381,13 +382,18 @@ def apply_scd2_batch(
         F.array(*[F.lit(c) for c in payload_cols]).alias("cols_set"),
         F.col("valid_from").alias("_ord0"),
     )
-    ev_after_fields = set(ev.schema["after"].dataType.fieldNames())
+    # case-INSENSITIVE presence check, matching getField's resolver: after
+    # a case-variant 'ADD COLUMN META' the canonical history column differs
+    # from the feed's after.meta only by case, and a case-sensitive check
+    # padded it with NULL, silently dropping every post-DDL value from the
+    # history (round-5 review finding)
+    ev_after_l = {n.lower() for n in ev.schema["after"].dataType.fieldNames()}
     unified = seed.unionByName(
         ev.select(
             *kc, "op",
             F.struct(*[
-                (F.col("after").getField(c) if c in ev_after_fields
-                 else F.lit(None))
+                (F.col("after").getField(c)
+                 if c.lower() in ev_after_l else F.lit(None))
                 .cast(hsch[c].dataType).alias(c)
                 for c in payload_cols
             ]).alias("after"),

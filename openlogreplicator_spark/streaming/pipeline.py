@@ -233,10 +233,23 @@ class CDCStreamPipeline:
             newc = ddl_introduced_column(txt)
             if (hist is not None and newc is not None
                     and newc.lower() in SCD2_META_COLS):
-                raise RuntimeError(
-                    f"DDL {txt!r} refused: column name {newc!r} collides "
-                    "with the SCD2 history's bookkeeping columns "
-                    f"{SCD2_META_COLS}; the history could never carry it.")
+                # skip-for-skip: an ADD introduces unconditionally, but a
+                # RENAME only applies when its SOURCE exists on the primary
+                # — 'RENAME COLUMN ghost TO valid_from' with no 'ghost' is
+                # a primary no-op and must not brick the stream (round-5
+                # review finding: the refusal re-fired on every replay of
+                # the batch, forever)
+                src = {c.lower() for c in ddl_source_columns(txt)}
+                applies = True
+                if src and table is not None:
+                    prim = {f.name.lower() for f in table.schema().fields}
+                    applies = bool(src & prim)
+                if applies:
+                    raise RuntimeError(
+                        f"DDL {txt!r} refused: column name {newc!r} "
+                        "collides with the SCD2 history's bookkeeping "
+                        f"columns {SCD2_META_COLS}; the history could "
+                        "never carry it.")
             if hist is not None and table is not None:
                 meta_src = {c.lower() for c in ddl_source_columns(txt)} & set(
                     SCD2_META_COLS)

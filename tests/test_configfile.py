@@ -160,7 +160,8 @@ def test_scalar_knobs_validated_at_parse():
         (lambda d: d["sources"][0].update(
             {"lake": {"num-buckets": 0}}), "num-buckets"),
         (lambda d: d["sources"][0].update(
-            {"lake": {"expire-keep": "5"}}), "expire-keep"),
+            {"lake": {"expire-every": 2, "expire-keep": "5"}}),
+         "expire-keep"),
     ]
     for mutate, frag in cases:
         d = _doc()
@@ -252,6 +253,31 @@ def test_lake_writer_refuses_change_stream_knobs():
     d["targets"][0]["writer"].update({"type": "file", "name": "/tmp/cs",
                                       "max-messages": 9})
     assert parse_config(d).max_ops_per_message == 9
+
+
+def test_expire_keep_requires_cadence():
+    """expire-keep without expire-every would silently never expire —
+    refuse the pairing (round-5 review finding)."""
+    d = _doc()
+    d["sources"][0]["lake"] = {"expire-keep": 2}
+    with pytest.raises(ConfigError, match="expire-every"):
+        parse_config(d)
+
+
+def test_sections_must_be_objects():
+    """A string/array where a section object belongs fails with the
+    reference-style ConfigError, not a raw TypeError (round-5 review
+    finding: '"reader": "batch"' ran a substring test and crashed)."""
+    for mutate in (
+            lambda d: d["sources"][0].update({"reader": "batch"}),
+            lambda d: d["sources"][0].update({"lake": []}),
+            lambda d: d["sources"][0].update({"format": "json"}),
+            lambda d: d["sources"][0]["tables"].__setitem__(0, "transcripts"),
+            lambda d: d["targets"][0].update({"writer": "lake"})):
+        d = _doc()
+        mutate(d)
+        with pytest.raises(ConfigError, match="must be an object"):
+            parse_config(d)
 
 
 def test_path_knobs_must_be_strings():

@@ -583,3 +583,64 @@ def test_legacy_plain_id_history_replays_without_double_apply(
     opn = open_t.read(spark).select(*KEYS, "valid_from")
     assert cur.exceptAll(opn).count() == 0
     assert opn.exceptAll(cur).count() == 0
+
+
+def test_case_variant_add_column_values_survive(spark, tmp_path):
+    """'ADD COLUMN META string' (case variant of the feed's after.meta):
+    the lake alters resolve case-insensitively and add 'META', the feed
+    keeps setting after.meta with cols_set ['meta'] — values must land on
+    the primary AND in the history (round-5 review finding: case-sensitive
+    membership/padding dropped them to NULL, and the primary's struct
+    padding fabricated an ambiguous duplicate field)."""
+    from openlogreplicator_spark.feed import generate_change_events
+    from openlogreplicator_spark.plans.replay import bootstrap_target
+
+    feed = generate_change_events(
+        spark, n_txs=80, n_convs=10, seed=61, with_ddl=True,
+    ).withColumn(
+        "ddl",
+        F.when(F.col("ddl") == "ADD COLUMN meta string",
+               F.lit("ADD COLUMN META string")).otherwise(F.col("ddl")),
+    ).localCheckpoint()
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    open_t = bootstrap_scd2_open_target(str(tmp_path / "open"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist,
+                             history_open_table=open_t)
+    pipe.process_batch(feed, 0)
+
+    # the canonical column is the DDL's spelling; values are the feed's
+    assert "META" in table.schema().fieldNames()
+    prim_set = table.read(spark).where(F.col("META").isNotNull()).count()
+    assert prim_set > 0
+    hist_set = hist.read(spark).where(F.col("META").isNotNull()).count()
+    assert hist_set > 0
+    assert open_t.read(spark).where(F.col("META").isNotNull()).count() > 0
+
+
+def test_noop_rename_onto_bookkeeping_not_refused(spark, tmp_path):
+    """'RENAME COLUMN ghost TO valid_from' where the primary has no
+    'ghost': the primary log-and-skips it, so the preflight must NOT
+    refuse — a no-op DDL refused forever would brick the stream on every
+    replay of the batch (round-5 review finding). A rename whose source
+    EXISTS still refuses."""
+    from openlogreplicator_spark.feed import generate_change_events
+    from openlogreplicator_spark.plans.replay import bootstrap_target
+
+    feed = generate_change_events(spark, n_txs=40, n_convs=8, seed=63)
+    ev, _ = _ddl_row(spark, feed, "RENAME COLUMN ghost TO valid_from")
+
+    table = bootstrap_target(str(tmp_path / "t"), CFG)
+    hist = bootstrap_scd2_target(str(tmp_path / "hist"), CFG)
+    pipe = CDCStreamPipeline(table, CFG, str(tmp_path / "state"),
+                             history_table=hist)
+    pipe.process_batch(ev, 0)  # must not raise
+    assert "valid_from" not in table.schema().fieldNames()
+    assert table.read(spark).count() > 0
+
+    # source exists -> the collision is real -> still refused
+    ev2, _ = _ddl_row(spark, feed, "RENAME COLUMN role TO is_current")
+    with pytest.raises(RuntimeError, match="bookkeeping"):
+        pipe.process_batch(ev2, 1)

@@ -32,6 +32,7 @@ def test_stream_refuses_replay_only_flags():
     _fails(base + ["--with-ddl"])
     _fails(base + ["--batch-id", "3"])
     _fails(base + ["--batch-id", "0"])  # explicit 0 refused too
+    _fails(base + ["--expire-keep", "2"])  # needs --expire-every here
 
 
 def test_config_refuses_engine_flags():
