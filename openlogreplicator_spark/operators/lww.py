@@ -47,24 +47,26 @@ def net_changes(
     the output unchanged (lets callers fold audits into this single shuffle).
     """
     o = _ord()
+    # case-insensitive set-membership, matching getField's resolver: a
+    # case-variant ADD COLUMN leaves the canonical (table) name and the
+    # feed's cols_set entries differing only by case (round-5 review
+    # finding: array_contains compares VALUES case-sensitively, so the
+    # column was never seen as set). Lowered ONCE per row, not once per
+    # payload column — N per-column transforms would N-plicate the array
+    # walk in the pre-shuffle projection.
+    assembled = assembled.withColumn(
+        "_cols_set_l",
+        F.transform(
+            F.coalesce(F.col("cols_set"), F.array().cast("array<string>")),
+            F.lower,
+        ),
+    )
     aggs = [
         F.max(F.when(F.col("op") == "D", o)).alias("_last_d"),
         F.max(F.when(F.col("op") != "D", o)).alias("_last_w"),
     ] + list(extra_aggs or [])
     for c in payload_cols:
-        # case-insensitive set-membership, matching getField's resolver: a
-        # case-variant ADD COLUMN leaves the canonical (table) name and the
-        # feed's cols_set entries differing only by case (round-5 review
-        # finding: array_contains compares VALUES case-sensitively, so the
-        # column was never seen as set)
-        present = F.array_contains(
-            F.transform(
-                F.coalesce(F.col("cols_set"),
-                           F.array().cast("array<string>")),
-                F.lower,
-            ),
-            F.lit(c.lower()),
-        )
+        present = F.array_contains(F.col("_cols_set_l"), F.lit(c.lower()))
         aggs.append(
             F.max(
                 F.when(

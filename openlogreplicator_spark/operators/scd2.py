@@ -134,18 +134,21 @@ def scd2_history(
     # last(ignorenulls) skips "not set" rows but keeps a set NULL (mirrors
     # net_changes' max(struct(ord, val)) trick).
     we = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # case-insensitive set-membership, like net_changes (the feed's
+    # cols_set entries may differ from the canonical table name only by
+    # case after a case-variant ADD COLUMN); lowered once per row, not
+    # once per payload column
+    df = df.withColumn(
+        "_cols_set_l",
+        F.transform(
+            F.coalesce(F.col("cols_set"), F.array().cast("array<string>")),
+            F.lower,
+        ),
+    )
     state_cols = []
     for c in payload_cols:
-        # case-insensitive set-membership, like net_changes (the feed's
-        # cols_set entries may differ from the canonical table name only
-        # by case after a case-variant ADD COLUMN)
         present = (F.col("op") != "D") & F.array_contains(
-            F.transform(
-                F.coalesce(F.col("cols_set"),
-                           F.array().cast("array<string>")),
-                F.lower,
-            ),
-            F.lit(c.lower()),
+            F.col("_cols_set_l"), F.lit(c.lower()),
         )
         wrapped = F.when(
             present,
