@@ -644,3 +644,52 @@ def test_noop_rename_onto_bookkeeping_not_refused(spark, tmp_path):
     ev2, _ = _ddl_row(spark, feed, "RENAME COLUMN role TO is_current")
     with pytest.raises(RuntimeError, match="bookkeeping"):
         pipe.process_batch(ev2, 1)
+
+
+def test_evolve_schema_tracks_lake_alters(tmp_path):
+    """Parity fuzz: over random DDL sequences (valid, malformed, case
+    variants, retries), evolve_schema applied to the starting schema
+    agrees with the REAL lake alters' end state, field for field — the
+    pure twin must never drift from _apply_ddl (round-5 review theme)."""
+    import random
+
+    from openlogreplicator_spark.feed import TRANSCRIPTS_SCHEMA
+    from openlogreplicator_spark.lake import LakeTable
+    from openlogreplicator_spark.plans.replay import (
+        _apply_ddl,
+        evolve_schema,
+    )
+
+    keys = ("conv_id", "turn_idx")
+    names = ["role", "text", "tool", "ts", "meta", "extra", "META",
+             "Role", "turn_idx", "conv_id", "ghost", "body"]
+    types = ["string", "bigint", "int", "double", "blob"]
+    rng = random.Random(51)
+
+    def rand_ddl():
+        kind = rng.choice(["add", "widen", "rename", "drop", "junk"])
+        n = rng.choice(names)
+        if kind == "add":
+            return f"ADD COLUMN {n} {rng.choice(types)}"
+        if kind == "widen":
+            return f"WIDEN {n} {rng.choice(types)}"
+        if kind == "rename":
+            to = " TO " if rng.random() < 0.5 else " "
+            return f"RENAME COLUMN {n}{to}{rng.choice(names)}"
+        if kind == "drop":
+            return f"DROP COLUMN {n}"
+        return rng.choice(["FROBNICATE x", "RENAME COLUMN onlyone",
+                           "ADD COLUMN", "WIDEN"])
+
+    for trial in range(12):
+        table = LakeTable.create(
+            str(tmp_path / f"t{trial}"), TRANSCRIPTS_SCHEMA, list(keys),
+            num_buckets=2)
+        sch = table.schema()
+        ddls = [rand_ddl() for _ in range(10)]
+        for ddl in ddls:
+            _apply_ddl(table, ddl)
+            sch = evolve_schema(sch, ddl, keys)
+        got = [(f.name, f.dataType) for f in sch.fields]
+        want = [(f.name, f.dataType) for f in table.schema().fields]
+        assert got == want, (trial, ddls, got, want)
