@@ -693,3 +693,57 @@ def test_evolve_schema_tracks_lake_alters(tmp_path):
         got = [(f.name, f.dataType) for f in sch.fields]
         want = [(f.name, f.dataType) for f in table.schema().fields]
         assert got == want, (trial, ddls, got, want)
+
+
+def test_routed_change_stream_schema_sliced_per_table(spark, tmp_path):
+    """Multi-table routed mode + schema bit0 + a DDL routed to ONE table:
+    each table's change-stream subdir advertises ITS schema — transcripts'
+    post-DDL messages carry 'meta' (pre-DDL ones don't), notes' never do."""
+    import glob
+    import json as _json
+    import os
+
+    from openlogreplicator_spark.sinks import JsonFormat
+
+    cfg = EngineConfig(num_buckets=4, table_filter=None)
+    events = generate_change_events(spark, n_txs=80, n_convs=12, seed=79)
+    is_dml = F.col("op").isin("I", "U", "D")
+    routed = events.withColumn(
+        "table",
+        F.when(~is_dml, F.lit("transcripts")).otherwise(
+            F.when(F.col("scn") % 2 == 0, F.lit("transcripts"))
+            .otherwise(F.lit("notes"))
+        ),
+    )
+    routed, add_scn = _ddl_row(spark, routed, "ADD COLUMN meta string",
+                               table="transcripts")
+    routed = routed.localCheckpoint()
+    tables = {
+        "transcripts": bootstrap_target(str(tmp_path / "t1"), cfg),
+        "notes": bootstrap_target(str(tmp_path / "t2"), cfg),
+    }
+    cs_dir = str(tmp_path / "cs")
+    pipe = CDCStreamPipeline(tables, cfg, str(tmp_path / "state"),
+                             change_stream_dir=cs_dir,
+                             change_stream_fmt=JsonFormat(schema_format=1))
+    pipe.process_batch(routed, 0)  # DDL lands MID-batch
+
+    def cols_by_scn(sub):
+        out = []
+        for r in spark.read.text(*sorted(glob.glob(
+                os.path.join(cs_dir, sub, "batch_*")))).collect():
+            m = _json.loads(r["value"])
+            for p in m["payload"]:
+                out.append((m["scn"],
+                            [c["name"] for c in p["schema"]["columns"]]))
+        return out
+
+    t_msgs = cols_by_scn("transcripts")
+    n_msgs = cols_by_scn("notes")
+    assert t_msgs and n_msgs
+    pre = [s for s, cols in t_msgs if "meta" not in cols]
+    post = [s for s, cols in t_msgs if "meta" in cols]
+    assert pre and post
+    assert max(pre) <= add_scn < min(post)
+    # the DDL was routed to transcripts only
+    assert all("meta" not in cols for _s, cols in n_msgs)
