@@ -59,6 +59,28 @@ _COMPACT_ROWS_PROP = "mor.compact.min-delete-rows"
 
 # deterministic seed for the bucket hash — must never change for a table's life.
 _HASH_SEED_COL = "_olr_bucket_seed"
+# internal working columns the writers project — user columns must never
+# shadow them (create() and the alters refuse; round-5 review finding)
+_RESERVED_COLS = {_BUCKET_COL, _SEQ_COL, _CONTENT_COL}
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync the PARENT directory of ``path``: on POSIX an atomic rename/
+    link is only crash-durable once the directory entry itself is flushed
+    — without this, power loss after _commit returns could revert the
+    pointer while the streaming checkpoint already considers the batch
+    delivered (round-5 review finding)."""
+    d = os.path.dirname(path) or "."
+    try:
+        fd = os.open(d, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -68,6 +90,7 @@ def _atomic_write(path: str, payload: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)  # atomic on POSIX
+    _fsync_dir(path)
 
 
 def _atomic_write_exclusive(path: str, payload: str) -> bool:
@@ -83,6 +106,7 @@ def _atomic_write_exclusive(path: str, payload: str) -> bool:
         os.fsync(f.fileno())
     try:
         os.link(tmp, path)
+        _fsync_dir(path)
         return True
     except FileExistsError:
         return False
@@ -282,6 +306,16 @@ class LakeTable:
     ) -> "LakeTable":
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        # internal working columns the writers project onto data frames:
+        # a user column with one of these names would be silently
+        # overwritten by the bucket hash / MoR resolve machinery (round-5
+        # review finding) — refuse at create, the one place it's cheap
+        clash = [f.name for f in schema.fields
+                 if f.name.lower() in _RESERVED_COLS]
+        if clash:
+            raise ValueError(
+                f"schema columns {clash} collide with reserved internal "
+                f"names {sorted(_RESERVED_COLS)}")
         os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         t = cls(path)
@@ -766,17 +800,14 @@ class LakeTable:
 
     def _write_data(self, df: DataFrame, version: int,
                     pre_partitioned: bool = False,
-                    num_buckets: int | None = None,
-                    subdir: str = "",
-                    content: str = "data") -> list[dict]:
+                    num_buckets: int | None = None) -> list[dict]:
         """Write df (must carry _BUCKET_COL) partitioned by bucket; return file
         entries with row counts from parquet footers (driver-side, cheap).
-
-        ``content='eq-del'`` marks the entries as equality-delete files
-        (Iceberg v2 delete manifests): the rows are merge-key tuples, read()
-        applies them to data files with a LOWER data sequence number. Every
-        entry carries ``seq`` = the committing snapshot version (the Iceberg
-        data sequence number)."""
+        Data files only — equality-delete files are written by
+        ``_write_data_mixed`` (the MoR path), the single delete writer.
+        Every entry carries ``seq`` = the committing snapshot version at
+        compute time (the Iceberg data sequence number; a rebased commit
+        rewrites it)."""
         import pyarrow.parquet as pq
 
         # uuid suffix: two RACING writers may both build the same target
@@ -784,7 +815,7 @@ class LakeTable:
         # the loser delete the winner's committed files. Unique dirs make
         # every attempt's files independent; losers become unreferenced
         # orphans that expire_snapshots collects.
-        rel = os.path.join(_DATA_DIR, f"v{version}{subdir}-{uuid.uuid4().hex[:8]}")
+        rel = os.path.join(_DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel)
         # co-locate each bucket into one task before the partitioned write:
         # one data file per touched bucket (vs. files x tasks), so manifest
@@ -798,8 +829,7 @@ class LakeTable:
         if not pre_partitioned:
             df = df.repartition(num_buckets or self.num_buckets,
                                 F.col(_BUCKET_COL))
-        if content == "data":
-            df = df.sortWithinPartitions(_BUCKET_COL, *self.key_cols)
+        df = df.sortWithinPartitions(_BUCKET_COL, *self.key_cols)
         (df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir))
         paths = []
         for root, _dirs, names in os.walk(out_dir):
@@ -811,7 +841,7 @@ class LakeTable:
 
         def stat(item):
             full, bucket = item
-            e = {
+            return {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
                 "rows": pq.ParquetFile(full).metadata.num_rows,
@@ -819,9 +849,6 @@ class LakeTable:
                 "schema_id": sid,
                 "seq": version,
             }
-            if content != "data":
-                e["content"] = content
-            return e
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -959,8 +986,9 @@ class LakeTable:
             )
         touched = sorted(touched)
 
+        tset_probe = set(touched)
         base_has_rows = any(
-            f["bucket"] in set(touched) and f.get("content", "data") == "data"
+            f["bucket"] in tset_probe and f.get("content", "data") == "data"
             for f in m["files"]
         )
         if not base_has_rows:
@@ -1346,7 +1374,22 @@ class LakeTable:
             return {"operation": "merge", "skipped": True,
                     "reason": f"batch {batch_id} <= {m['last_batch_id']}"}
         if m["files"]:
-            raise ValueError("merge_direct requires an empty table")
+            # the caller's emptiness check raced a concurrent writer's
+            # merge — fall back to the general path (same contract as the
+            # CommitConflict fallback below) instead of crashing the batch
+            # on a benign precondition race (round-5 review finding). The
+            # audits have not been observed yet here; compute them with one
+            # aggregate so the fallback's summary still carries the scn
+            # watermark and event count the caller relies on.
+            fb = dict(summary or {})
+            if audit_aggs:
+                fb.update(updates.agg(*audit_aggs).first().asDict())
+                if "scn_max" not in fb and fb.get("scn_max_obs") is not None:
+                    fb["scn_max"] = int(fb["scn_max_obs"])
+            return self.merge(
+                spark, updates, batch_id, summary=fb,
+                op_col=op_col, cols_set_col=cols_set_col,
+            )
 
         t0 = time.time()
         cur = StructType.fromJson(m["schema"])
@@ -1410,9 +1453,18 @@ class LakeTable:
             # swap — the table may no longer be empty, so the general
             # merge path (its own @_retry_conflict, full resolve) takes
             # over against the fresh state; this attempt's files become
-            # expire-collected orphans
+            # expire-collected orphans. The ALREADY-OBSERVED audits ride
+            # the fallback's summary: they carry the scn watermark
+            # (last_scn would otherwise stay -1, disarming the replay
+            # filter) and events_obs (the caller's empty-slice detection)
+            # — round-5 review finding: the fallback silently dropped
+            # both.
+            fb = dict(summary or {})
+            fb.update(audits)
+            if "scn_max" not in fb and fb.get("scn_max_obs") is not None:
+                fb["scn_max"] = int(fb["scn_max_obs"])
             return self.merge(
-                spark, updates, batch_id, summary=summary,
+                spark, updates, batch_id, summary=fb,
                 op_col=op_col, cols_set_col=cols_set_col,
             )
         smry["snapshot_id"] = v
@@ -1525,6 +1577,9 @@ class LakeTable:
         # case-variant re-ADD is the same idempotent no-op as an exact one
         if name.lower() in [f.name.lower() for f in cur.fields]:
             return
+        if name.lower() in _RESERVED_COLS:
+            raise ValueError(
+                f"cannot add column {name!r}: reserved internal name")
         new_schema = StructType(cur.fields).add(name, spark_type, True)
         fids = dict(self._fids(m, m["schema_id"]))
         # allocate a NEVER-before-used field id (Iceberg last-column-id):
@@ -1537,7 +1592,21 @@ class LakeTable:
             for v in sid_fids.values()
             if isinstance(v, int)
         ]
-        fid = (max(taken) + 1) if taken else f"f_{name}"
+        if taken:
+            fid = max(taken) + 1
+        else:
+            # legacy name-identity table (string fids): a bare f_{name}
+            # would be re-issued on drop + re-add, resurrecting the dropped
+            # column's bytes from historical files — disambiguate with the
+            # schema generation when the name was ever used before
+            fid = f"f_{name}"
+            ever = {
+                v
+                for sid_fids in (m.get("schemas_fids") or {}).values()
+                for v in sid_fids.values()
+            }
+            if fid in ever:
+                fid = f"f_{name}.{m['schema_id'] + 1}"
         fids[name] = fid
         extra = {}
         if default is not None:
@@ -1576,6 +1645,9 @@ class LakeTable:
             return  # exact no-op
         if new.lower() in lmap and new.lower() != actual.lower():
             raise ValueError(f"column {new!r} already exists")
+        if new.lower() in _RESERVED_COLS:
+            raise ValueError(
+                f"cannot rename to {new!r}: reserved internal name")
         fields = [
             f.__class__(new, f.dataType, f.nullable) if f.name == actual
             else f
@@ -1608,19 +1680,39 @@ class LakeTable:
         self._bump_schema(m, StructType(fields),
                           {"operation": "drop-column", "column": actual})
 
+    # permitted type-widening transitions (Iceberg's evolution matrix):
+    # anything else silently corrupts historical files at read time — the
+    # align cast would narrow (long -> int wraps past 2^31, string -> int
+    # NULLs) — so alter_widen REFUSES non-widening changes (round-5 review
+    # finding). Keyed by simpleString names.
+    _WIDEN_OK = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+
     @_retry_conflict
     def alter_widen(self, name: str, spark_type) -> None:
         """Metadata-only type widen (e.g. int -> bigint). Idempotent: a
         retried DDL whose target type already matches is a no-op, and so is
         a widen of a column the schema does not carry (previously it
         committed an unchanged schema). ``name`` resolves
-        case-insensitively, matching Spark's default resolver."""
+        case-insensitively, matching Spark's default resolver. A
+        NON-widening change (long -> int, string -> int, ...) raises
+        ValueError — historical files would narrow-cast at read time."""
         m = dict(self.manifest())
         cur = StructType.fromJson(m["schema"])
         actual = next(
             (f for f in cur.fields if f.name.lower() == name.lower()), None)
         if actual is None or actual.dataType == spark_type:
             return
+        pair = (actual.dataType.simpleString(), spark_type.simpleString())
+        if pair not in self._WIDEN_OK:
+            raise ValueError(
+                f"cannot widen column {actual.name!r}: "
+                f"{pair[0]} -> {pair[1]} is not a widening transition "
+                f"(allowed: {sorted(self._WIDEN_OK)})")
         fields = []
         for f in cur.fields:
             if f.name == actual.name:
@@ -1711,16 +1803,40 @@ class LakeTable:
                             continue
                     except OSError:
                         continue
-                os.remove(full)
-                removed += 1
-            if not os.listdir(root) and root != data_root:
-                os.rmdir(root)
+                try:
+                    os.remove(full)
+                    removed += 1
+                except FileNotFoundError:
+                    continue  # a concurrent expiry pass won the race
+            if root == data_root:
+                continue
+            try:
+                left = os.listdir(root)
+                # a per-commit dir whose parquet files are all gone keeps
+                # only Spark sidecars (_SUCCESS, .crc): remove them so the
+                # rmdir fires — otherwise a long stream leaks one dir +
+                # sidecars per commit (round-5 review finding)
+                if left and all(nm == "_SUCCESS" or nm.endswith(".crc")
+                                for nm in left):
+                    for nm in left:
+                        try:
+                            os.remove(os.path.join(root, nm))
+                        except FileNotFoundError:
+                            pass
+                    left = os.listdir(root)
+                if not left:
+                    os.rmdir(root)
+            except OSError:
+                pass  # concurrent writer populated it — next pass collects
         expired = 0
         for v in range(cutoff):
             p = os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json")
             if os.path.exists(p):
-                os.remove(p)
-                expired += 1
+                try:
+                    os.remove(p)
+                    expired += 1
+                except FileNotFoundError:
+                    pass  # concurrent expiry pass
             self._manifest_cache.pop(v, None)
         return {"operation": "expire-snapshots",
                 "expired_manifests": expired, "data_files_removed": removed,

@@ -101,7 +101,10 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
         default = None
         if len(parts) >= 6 and parts[4].upper() == "DEFAULT":
             default = parts[5]
-        table.alter_add_column(parts[2], t, default=default)
+        try:
+            table.alter_add_column(parts[2], t, default=default)
+        except ValueError as e:  # reserved internal name — report, skip
+            log.warning("skipping ADD COLUMN: %s", e)
     elif kind == "WIDEN" and len(parts) >= 3:
         t = _spark_type(parts[2])
         if t is None:
@@ -110,7 +113,10 @@ def _apply_ddl(table: LakeTable, ddl: str) -> None:
                 "%r", ddl,
             )
             return
-        table.alter_widen(parts[1], t)
+        try:
+            table.alter_widen(parts[1], t)
+        except ValueError as e:  # non-widening change — report, don't halt
+            log.warning("skipping WIDEN: %s", e)
     elif kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
         args = _rename_args(parts)
         if args is None:
@@ -164,8 +170,11 @@ def evolve_schema(schema, ddl: str, key_cols=()) -> "StructType":
     # diverging the wire schema from the table for the carrying batch)
     lmap = {f.name.lower(): f.name for f in fields}
     if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
+        from openlogreplicator_spark.lake import _RESERVED_COLS
+
         t = _spark_type(parts[3])
-        if t is None or parts[2].lower() in lmap:
+        if (t is None or parts[2].lower() in lmap
+                or parts[2].lower() in _RESERVED_COLS):
             return schema
         return StructType(fields + [StructField(parts[2], t, True)])
     if kind == "WIDEN" and len(parts) >= 3:
@@ -173,6 +182,10 @@ def evolve_schema(schema, ddl: str, key_cols=()) -> "StructType":
         actual = lmap.get(parts[1].lower())
         if t is None or actual is None:
             return schema
+        old_t = next(f.dataType for f in fields if f.name == actual)
+        if old_t != t and (old_t.simpleString(), t.simpleString()) \
+                not in LakeTable._WIDEN_OK:
+            return schema  # the primary refuses non-widening changes
         return StructType([
             StructField(f.name, t, f.nullable) if f.name == actual else f
             for f in fields])
@@ -185,7 +198,10 @@ def evolve_schema(schema, ddl: str, key_cols=()) -> "StructType":
         # missing source (retried rename) or a conflict with a DIFFERENT
         # existing field: no-op; a case-only rename of the same field is
         # allowed, like alter_rename_column
-        if actual is None or (tgt is not None and tgt != actual):
+        from openlogreplicator_spark.lake import _RESERVED_COLS
+
+        if (actual is None or (tgt is not None and tgt != actual)
+                or args[1].lower() in _RESERVED_COLS):
             return schema
         return StructType([
             StructField(args[1], f.dataType, f.nullable)
@@ -283,16 +299,23 @@ def ddl_applied(table: LakeTable, ddl: str) -> bool:
     Spark's default resolver. Non-column DDL returns True (no schema state
     to converge on)."""
     parts, kind, unit = _ddl_tokens(ddl)
+    from openlogreplicator_spark.lake import _RESERVED_COLS
+
     names = {f.name.lower(): f for f in table.schema().fields}
     if kind == "ADD" and unit == "COLUMN" and len(parts) >= 4:
-        return parts[2].lower() in names
+        # a reserved-name ADD is refused by the alter (log-and-skip):
+        # nothing to converge on
+        return (parts[2].lower() in names
+                or parts[2].lower() in _RESERVED_COLS)
     if kind == "WIDEN" and len(parts) >= 3:
         f = names.get(parts[1].lower())
         t = _spark_type(parts[2])
-        return f is None or t is None or f.dataType == t
+        return (f is None or t is None or f.dataType == t
+                or (f.dataType.simpleString(), t.simpleString())
+                not in LakeTable._WIDEN_OK)
     if kind == "RENAME" and unit == "COLUMN" and len(parts) >= 4:
         args = _rename_args(parts)
-        if args is None:
+        if args is None or args[1].lower() in _RESERVED_COLS:
             return True
         # old gone = renamed already (or never existed -> primary no-op)
         return args[0].lower() not in names

@@ -385,13 +385,46 @@ def test_merge_direct_conflict_falls_back_to_merge(spark, tmp_path):
     t._commit = flaky
     try:
         rows = [(k, f"v{k}", "I", ["v"]) for k in range(50)]
-        s = t.merge_direct(spark, spark.createDataFrame(rows, UPD), batch_id=1)
+        from pyspark.sql import functions as F
+        s = t.merge_direct(
+            spark, spark.createDataFrame(rows, UPD).withColumn(
+                "scn", F.col("k") * 10 + 5),
+            batch_id=1,
+            audit_aggs=[F.max("scn").alias("scn_max_obs"),
+                        F.count(F.lit(1)).alias("events_obs")])
     finally:
         t._commit = orig
     assert not s.get("skipped")
     assert calls["n"] >= 2
     assert t.read(spark).count() == 50
     assert t.last_batch_id() == 1
+    # the observed audits ride the fallback (round-5 review finding: the
+    # scn watermark and event count were silently dropped, disarming the
+    # hwm replay filter)
+    assert s.get("events_obs") == 50
+    assert t.last_scn() == 495
+
+
+def test_merge_direct_nonempty_precondition_falls_back(spark, tmp_path):
+    """merge_direct against a table that became non-empty between the
+    caller's check and its manifest read falls back to merge (with the
+    audits) instead of raising ValueError (round-5 review finding)."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["k"], num_buckets=4)
+    t.merge(spark, spark.createDataFrame(
+        [(99, "pre", "I", ["v"])], UPD), batch_id=1)
+    rows = [(k, f"v{k}", "I", ["v"]) for k in range(20)]
+    s = t.merge_direct(
+        spark, spark.createDataFrame(rows, UPD).withColumn(
+            "scn", F.col("k") + 100),
+        batch_id=2,
+        audit_aggs=[F.max("scn").alias("scn_max_obs"),
+                    F.count(F.lit(1)).alias("events_obs")])
+    assert not s.get("skipped")
+    assert s.get("events_obs") == 20
+    assert t.read(spark).count() == 21
+    assert t.last_scn() == 119
 
 
 def test_expire_spares_young_orphans(spark, tmp_path):
@@ -487,3 +520,64 @@ def test_clobbered_manifest_detected_before_pointer_swap(tmp_path):
     finally:
         lake_mod._atomic_write_exclusive = orig
     assert t.current_version() == v0  # pointer never swapped
+
+
+def test_expire_removes_sidecars_and_dirs(spark, tmp_path):
+    """Superseded per-commit data dirs are removed ENTIRELY by expiry —
+    including Spark's _SUCCESS/.crc sidecars, which previously kept every
+    dir alive forever (round-5 review finding: one leaked dir per commit
+    defeats the retention disk bound)."""
+    import glob
+    import os
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["k"],
+                         num_buckets=4)  # CoW: old generations supersede
+    for i in range(4):
+        t.merge(spark, spark.createDataFrame(
+            [(k, f"v{i}_{k}", "I", ["v"]) for k in range(8)], UPD),
+            batch_id=i + 1)
+    n_dirs_before = len(glob.glob(os.path.join(t.path, "data", "v*")))
+    assert n_dirs_before >= 4
+    t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
+    left = glob.glob(os.path.join(t.path, "data", "v*"))
+    # only the retained snapshot's dir(s) survive, with no sidecar-only
+    # husks
+    assert len(left) < n_dirs_before
+    live = {os.path.join(t.path, f["path"].split(os.sep)[0],
+                          f["path"].split(os.sep)[1])
+            for f in t.manifest()["files"]}
+    for d in left:
+        assert d in live, d
+
+
+def test_legacy_fid_no_resurrection_on_readd(spark, tmp_path):
+    """Pre-field-id table (name-identity fids): DROP x + re-ADD x must not
+    re-issue the same legacy fid, or read() would bind the dropped
+    column's historical bytes into the re-added column (round-5 review
+    finding: the f_{name} fallback was deterministic by name)."""
+    import json as _json
+    import os
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["k"], num_buckets=2)
+    # simulate a legacy table: strip the int field ids from the manifest
+    mp = os.path.join(t.path, "_manifests", "v0.json")
+    with open(mp) as f:
+        m = _json.load(f)
+    m.pop("schemas_fids", None)
+    m.pop("field_ids", None)
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    t = LakeTable(t.path)  # reopen past any cache
+
+    from pyspark.sql.types import StringType
+
+    t.alter_add_column("x", StringType())
+    t.merge(spark, spark.createDataFrame(
+        [(1, "v1", "secret", "I", ["v", "x"])],
+        "k int, v string, x string, op string, cols_set array<string>"),
+        batch_id=1)
+    assert t.read(spark).where("x = 'secret'").count() == 1
+    t.alter_drop_column("x")
+    t.alter_add_column("x", StringType())
+    # historical bytes must NOT resurface under the re-added column
+    assert t.read(spark).where("x is not null").count() == 0

@@ -415,3 +415,77 @@ def test_alter_lookups_case_insensitive(spark, tmp_path):
     assert t.current_version() == v
     t.alter_drop_column("Score")
     assert "score" not in [f.name for f in t.schema().fields]
+
+
+def test_widen_refuses_narrowing(tmp_path):
+    from openlogreplicator_spark.lake import LakeTable
+
+    """alter_widen only accepts true widening transitions (Iceberg's
+    evolution matrix): long -> int would wrap historical values past 2^31
+    at read time (round-5 review finding)."""
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        T.StructType([
+            T.StructField("k", T.StringType(), False),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("i", T.IntegerType(), True),
+        ]),
+        ["k"], num_buckets=2)
+    with pytest.raises(ValueError, match="not a widening"):
+        t.alter_widen("n", T.IntegerType())
+    with pytest.raises(ValueError, match="not a widening"):
+        t.alter_widen("s", T.LongType())
+    t.alter_widen("i", T.LongType())  # int -> bigint still fine
+    assert dict((f.name, f.dataType) for f in t.schema().fields)["i"] == \
+        T.LongType()
+    # the DDL applier log-and-skips it (never poisons the batch), and the
+    # wire twin mirrors the skip
+    from openlogreplicator_spark.plans.replay import (
+        _apply_ddl,
+        evolve_schema,
+    )
+
+    _apply_ddl(t, "WIDEN s bigint")  # must not raise
+    sch = t.schema()
+    assert dict((f.name, f.dataType) for f in sch.fields)["s"] == \
+        T.StringType()
+    assert evolve_schema(sch, "WIDEN s bigint", ("k",)) is sch
+
+
+def test_reserved_internal_names_refused(tmp_path):
+    from openlogreplicator_spark.lake import LakeTable
+
+    """User columns must never shadow the writers' working columns (_b,
+    _olr_seq, _olr_content) — the bucket hash would silently overwrite
+    them in every written file (round-5 review finding). create() and the
+    alters refuse; the DDL applier log-and-skips."""
+    with pytest.raises(ValueError, match="reserved"):
+        LakeTable.create(
+            str(tmp_path / "bad"),
+            T.StructType([
+                T.StructField("k", T.StringType(), False),
+                T.StructField("_b", T.IntegerType(), True),
+            ]),
+            ["k"], num_buckets=2)
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        T.StructType([
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]),
+        ["k"], num_buckets=2)
+    with pytest.raises(ValueError, match="reserved"):
+        t.alter_add_column("_olr_seq", T.LongType())
+    with pytest.raises(ValueError, match="reserved"):
+        t.alter_rename_column("v", "_b")
+    from openlogreplicator_spark.plans.replay import (
+        _apply_ddl,
+        evolve_schema,
+    )
+
+    _apply_ddl(t, "ADD COLUMN _b bigint")  # log-and-skip, not poison
+    assert "_b" not in t.schema().fieldNames()
+    sch = t.schema()
+    assert evolve_schema(sch, "ADD COLUMN _b bigint", ("k",)) is sch
+    assert evolve_schema(sch, "RENAME COLUMN v TO _b", ("k",)) is sch
