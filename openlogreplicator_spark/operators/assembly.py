@@ -69,7 +69,7 @@ def _flags(events: DataFrame, require_begin: bool):
 
 def assemble_transactions_sql(
     events: DataFrame, cfg: EngineConfig, emit_open: bool = False,
-    slim_join: bool = False,
+    slim_join: bool = False, combined: bool = False,
 ) -> DataFrame:
     """Window-function assembly (JVM path). Input: decoded CHANGE_EVENT rows.
 
@@ -141,6 +141,17 @@ def assemble_transactions_sql(
     )
     if not emit_open:
         return out
+    if combined:
+        # ONE frame, committed-surviving rows flagged is_open=false and
+        # still-open rows is_open=true — the streaming pipeline persists
+        # this single frame instead of re-executing the assembly plan for
+        # the open-rows split (round-5 review finding). Rolled-back rows
+        # (terminated, not surviving) appear in neither subset, as before.
+        return ann.where(
+            (F.col("_committed") & F.col("_survives"))
+            | ~F.col("_terminated")
+        ).withColumn("is_open", ~F.col("_terminated")).drop(
+            "_committed", "_terminated", "_survives")
     open_rows = ann.where(~F.col("_terminated")).drop(
         "_committed", "_terminated", "_survives", "commit_scn", "commit_ts"
     )

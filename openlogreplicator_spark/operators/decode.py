@@ -205,7 +205,14 @@ def decode_events(
             pred = F.col("table").isin(*exact) if exact else F.lit(False)
             for m in masks:
                 pred = pred | F.col("table").like(m)
-            out = out.where((~F.col("op").isin(*row_ops)) | pred)
+            # DDL is table-addressed like the row ops: a DDL for a table
+            # outside the dictionary must not survive decode (round-5
+            # review finding: the single-table pipeline collected foreign
+            # DDL and applied a foreign TRUNCATE/DROP to ITS target —
+            # silent data loss; the reference's schema masks select which
+            # tables' DDL is tracked, OracleAnalyzerOnline.cpp:213-214)
+            dict_ops = list(row_ops) + ["DDL"]
+            out = out.where((~F.col("op").isin(*dict_ops)) | pred)
 
         # row-class filter: single-row DML must carry a full merge key
         # (multi-row ops carry their keys inside `rows`)

@@ -635,7 +635,7 @@ def resolve_assembly_mode(events: DataFrame, cfg: EngineConfig) -> bool:
 
 def assemble(
     events: DataFrame, cfg: EngineConfig, use_pandas: bool | None = None,
-    emit_open: bool = False,
+    emit_open: bool = False, combined: bool = False,
 ):
     """Assembly dispatch: applyInPandas per-key state (north-rule default) or
     the equivalent JVM window-function form. ``use_pandas=None`` defers to
@@ -647,6 +647,8 @@ def assemble(
         res = assemble_transactions_pandas(events, cfg, emit_open=emit_open)
         if not emit_open:
             return res
+        if combined:
+            return res  # one frame, is_open-flagged (see the SQL twin)
         committed = res.where(~F.col("is_open")).drop("is_open")
         open_rows = res.where(F.col("is_open")).drop("is_open", "commit_scn")
         return committed, open_rows
@@ -658,7 +660,8 @@ def assemble(
     # BENCH.md round-3 'slim SQL assembly' section). Callers whose feed
     # re-scan is cheap and column-pruned can opt in via
     # assemble_transactions_sql(..., slim_join=True).
-    return assemble_transactions_sql(events, cfg, emit_open=emit_open)
+    return assemble_transactions_sql(events, cfg, emit_open=emit_open,
+                                     combined=combined)
 
 
 def collect_ddls(decoded: DataFrame) -> list[tuple[int, str]]:

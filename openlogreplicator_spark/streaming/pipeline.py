@@ -66,6 +66,10 @@ class CDCStreamPipeline:
         # OpenLogReplicator.cpp:593-617). A dict routes each event's `table`
         # column to its own LakeTable with independent watermarks/DDL.
         if isinstance(table, dict):
+            if not table:
+                raise ValueError(
+                    "routed mode needs at least one table: the target dict "
+                    "is empty")
             self.tables: dict[str, LakeTable] | None = table
             self.table = next(iter(table.values()))
         else:
@@ -319,6 +323,14 @@ class CDCStreamPipeline:
         """foreachBatch body. Deterministic + idempotent per (batch_id, input)."""
         t0 = time.time()
         spark = batch_df.sparkSession
+        # pre-batch snapshot versions (pointer reads): the retention
+        # cadence below must keep at least this batch's own commits PLUS
+        # the pre-batch snapshot, or a crash-before-checkpoint replay of a
+        # DDL-carrying batch loses the manifest schema_before_batch needs
+        # for byte-identical change-stream re-serialization
+        _primaries = (list(self.tables.values())
+                      if self.tables is not None else [self.table])
+        _v_start = [t.current_version() for t in _primaries]
         if self.tables is not None:
             from openlogreplicator_spark.operators.decode import (
                 decode_events_multi,
@@ -345,16 +357,30 @@ class CDCStreamPipeline:
         )
 
         # one pass over the raw slice: per-source-partition lineage (before
-        # any shuffle) + the M4 control-table probe (graceful-shutdown event)
+        # any shuffle) + the M4 control-table probe (graceful-shutdown
+        # event). The probe honors the configured start position — a
+        # historical shutdown event BEFORE start_scn/start_ts must not stop
+        # a fresh 'start from here and tail' run (round-5 review finding);
+        # the lineage stats stay raw-feed on purpose (they describe what
+        # was read, not what was applied).
+        ctl_live = F.col("table") == self.control_table
+        if self.cfg.start_scn is not None:
+            ctl_live = ctl_live & (
+                F.col("scn") >= F.lit(int(self.cfg.start_scn)))
+        if self.cfg.start_seq is not None:
+            ctl_live = ctl_live & (
+                F.col("seq") >= F.lit(int(self.cfg.start_seq)))
+        if self.cfg.start_ts is not None:
+            ctl_live = ctl_live & (
+                F.col("ts").isNull()
+                | (F.col("ts") >= F.to_timestamp(F.lit(self.cfg.start_ts))))
         part_stats = (
             batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.min("scn").alias("scn_min"),
                 F.max("scn").alias("scn_max"),
                 F.count(F.lit(1)).alias("events"),
-                F.max(
-                    (F.col("table") == self.control_table).cast("int")
-                ).alias("ctl"),
+                F.max(ctl_live.cast("int")).alias("ctl"),
                 # event-time high-water per partition: freshness lag =
                 # commit wall time minus max(ts_max_us) of the batch
                 # (reference checkpoint records the matching timestamp,
@@ -369,15 +395,22 @@ class CDCStreamPipeline:
         prev = self.pending.read_for_batch(spark, CHANGE_EVENT_SCHEMA, batch_id)
         events = prev.unionByName(dml.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields]))
 
-        committed, open_rows = assemble(
-            events, self.cfg, use_pandas=self.use_pandas_assembly, emit_open=True
-        )
+        # ONE combined frame (is_open-flagged) persisted for BOTH splits:
+        # the committed/open halves previously came back as two independent
+        # lazy plans, and the pending-store write re-executed the whole
+        # assembly DAG every microbatch (round-5 review finding).
+        res = assemble(
+            events, self.cfg, use_pandas=self.use_pandas_assembly,
+            emit_open=True, combined=True,
+        ).persist()
         # unnest committed multi-row (MI/MD) events into standard I/D rows;
         # open_rows stay PACKED (they round-trip through the pending store
         # in CHANGE_EVENT form and may still be partially rolled back)
         from openlogreplicator_spark.operators.decode import unnest_multirow
 
-        committed = unnest_multirow(committed).persist()
+        committed = unnest_multirow(
+            res.where(~F.col("is_open")).drop("is_open"))
+        open_rows = res.where(F.col("is_open"))
 
         # SCHEMA_FORMAT_FULL (bit0): capture each target's schema BEFORE
         # this batch's DDLs apply, so the change stream can advertise, per
@@ -502,23 +535,36 @@ class CDCStreamPipeline:
                         os.path.join(self.change_stream_dir,
                                      f"batch_{batch_id}"),
                     )
+            # persist still-open transactions for the next microbatch
+            # (reads the SAME cached frame as the committed splits above)
+            self.pending.write(
+                open_rows.select(
+                    *[f.name for f in CHANGE_EVENT_SCHEMA.fields]),
+                batch_id,
+            )
         finally:
-            committed.unpersist()
-
-        # persist still-open transactions for the next microbatch
-        self.pending.write(
-            open_rows.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields]),
-            batch_id,
-        )
+            res.unpersist()
 
         # merge-on-read maintenance cadence: every N committed batches, fold
         # delete files / stacked generations back into plain data files.
         # Runs AFTER the batch's merges; not batch-id-gated (a crash here
         # just defers the compaction — candidates persist, correctness
         # never depends on it)
+        # side outputs compact too: a merge-on-read SCD2 history stacks
+        # equality-delete files every microbatch and depends on periodic
+        # folding exactly like the primary (round-5 review finding: both
+        # branches only walked the primaries)
+        _maint_tables = (
+            list(self.tables.values()) if self.tables is not None
+            else [self.table]
+        ) + [
+            *self.history_tables.values(),
+            *self.history_open_tables.values(),
+            *self.conversations_tables.values(),
+            *self.sig_index_tables.values(),
+        ]
         if self.cfg.compact_every and (batch_id + 1) % self.cfg.compact_every == 0:
-            for tbl in (self.tables.values() if self.tables is not None
-                        else [self.table]):
+            for tbl in _maint_tables:
                 summaries.append(tbl.compact(
                     spark, summary={"trigger_batch": int(batch_id)}))
         else:
@@ -526,8 +572,7 @@ class CDCStreamPipeline:
             # fold any MoR bucket whose stacked delete rows crossed the
             # table's thresholds — manifest-only check, no data I/O when
             # nothing qualifies
-            for tbl in (self.tables.values() if self.tables is not None
-                        else [self.table]):
+            for tbl in _maint_tables:
                 if tbl.write_mode != "mor":
                     continue
                 cands = tbl.compaction_candidates()
@@ -546,16 +591,20 @@ class CDCStreamPipeline:
         # never depends on it) and run AFTER this batch's merges so
         # keep_last always retains the snapshot just written.
         if self.cfg.expire_every and (batch_id + 1) % self.cfg.expire_every == 0:
-            primaries = (list(self.tables.values())
-                         if self.tables is not None else [self.table])
             side = [
                 *self.history_tables.values(),
                 *self.history_open_tables.values(),
                 *self.conversations_tables.values(),
                 *self.sig_index_tables.values(),
             ]
-            for tbl in primaries + side:
-                s = tbl.expire_snapshots(keep_last=self.cfg.expire_keep)
+            for i, tbl in enumerate(_primaries + side):
+                keep = self.cfg.expire_keep
+                if i < len(_primaries):
+                    # replay safety: retain this batch's commits + the
+                    # pre-batch snapshot (see _v_start above)
+                    keep = max(keep,
+                               tbl.current_version() - _v_start[i] + 1)
+                s = tbl.expire_snapshots(keep_last=keep)
                 s["trigger_batch"] = int(batch_id)
                 summaries.append(s)
 
@@ -599,10 +648,20 @@ class CDCStreamPipeline:
                 f"{c} long" if c != "partition_id" else f"{c} int"
                 for c in LINEAGE_COLS))
         df = spark.read.parquet(self.lineage_dir)
-        return df.groupBy("batch_id", "partition_id").agg(
-            *[F.max(c).alias(c) for c in LINEAGE_COLS
-              if c not in ("batch_id", "partition_id")]
-        )
+        # ONE attempt's row per (batch, partition), not a per-column blend:
+        # a replayed batch appends a second row (snapshot_id=-1, skipped
+        # merges) and independent max() would mix the attempts into a row
+        # no write produced (round-5 review finding). The real write has
+        # the higher snapshot_id, so order the struct by it.
+        others = [c for c in LINEAGE_COLS
+                  if c not in ("batch_id", "partition_id")]
+        packed = F.max(F.struct(
+            F.col("snapshot_id"),
+            *[F.col(c) for c in others if c != "snapshot_id"])).alias("_r")
+        g = df.groupBy("batch_id", "partition_id").agg(packed)
+        return g.select(
+            "batch_id", "partition_id",
+            *[F.col(f"_r.{c}").alias(c) for c in others])
 
     # ------------------------------------------------------------ run stream
 
@@ -619,6 +678,11 @@ class CDCStreamPipeline:
         first, so microbatches are contiguous scn slices (LWN analog)."""
         from openlogreplicator_spark.streaming import metrics as _metrics
 
+        # a graceful M4 stop from a PREVIOUS run must not kill this one:
+        # the poller reads the flag between batches (round-5 review finding
+        # — run_config returns the pipeline for reuse, and the stale flag
+        # stopped the second run before its first batch)
+        self.shutdown_requested = False
         # attach ONE listener per pipeline (a shared test SparkSession would
         # otherwise accumulate listeners across runs); detach_metrics()
         # removes it after the query ends
